@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Benchmark driver — prints ONE JSON line summarizing performance vs baseline.
+
+Headline metric: build time of the item-item cosine-kNN graph at the
+reference's exact published shape (63,001 items x 384d text embeddings, k=20,
+min_sim 0.3) — the reference's only hard throughput number: 100.40 s on an
+n1-highmem-8 CPU (`PHASE0_REPORT.md:180-183`). vs_baseline = baseline_s / ours
+(higher is better, >1 means faster than the reference).
+
+Extra fields in the same JSON line (no reference counterpart, recorded for
+round-over-round tracking):
+  - gat_train_edges_per_sec: full train step (sample+fwd+bwd+Adam) throughput
+    on an Amazon-Electronics-scale synthetic graph, edges x layers / step_time
+  - gat_step_time_s, eval_users_per_sec, device
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench_knn():
+    import jax
+
+    from plotpointe_tpu.graphs.knn import cosine_knn
+
+    n, d, k = 63_001, 384, 20
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    # warmup/compile on a small slice
+    cosine_knn(x[:2048], k=k, min_similarity=0.3, block_rows=1024)
+
+    t0 = time.perf_counter()
+    idx, sim, valid = cosine_knn(x, k=k, min_similarity=0.3, block_rows=1024)
+    jax.block_until_ready(idx)
+    dt = time.perf_counter() - t0
+    return dt
+
+
+def _bench_gat_train(n_users=192_403, n_items=63_001, n_edges=1_689_116, hidden=128, layers=2, batch=200_000):
+    """Train-step throughput at Amazon Electronics scale (synthetic ids)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.config import TrainConfig
+    from plotpointe_tpu.data.splits import Splits
+    from plotpointe_tpu.graphs.csr import build_bipartite_graph
+    from plotpointe_tpu.models.gat import GATModel
+    from plotpointe_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    tu = rng.integers(0, n_users, n_edges).astype(np.int32)
+    ti = rng.integers(0, n_items, n_edges).astype(np.int32)
+    tw = rng.random(n_edges).astype(np.float32)
+    splits = Splits(
+        n_users=n_users, n_items=n_items, train_u=tu, train_i=ti, train_w=tw,
+        val_u=np.arange(0, dtype=np.int32), val_i=np.arange(0, dtype=np.int32),
+        test_u=np.arange(0, dtype=np.int32), test_i=np.arange(0, dtype=np.int32),
+    )
+    graph = build_bipartite_graph(tu, ti, n_users, n_items, weight=tw)
+    feats = rng.normal(size=(n_items, 384)).astype(np.float32)
+
+    cfg = TrainConfig(hidden_dim=hidden, layers=layers, samples_per_epoch=batch, item_features="txt")
+    model = GATModel(n_users=n_users, n_items=n_items, feat_dim=384, hidden_dim=hidden, n_layers=layers)
+    trainer = Trainer(model, cfg, graph, splits, item_feats=feats, max_pos_degree=64)
+
+    params = model.init(jax.random.key(0))
+    opt_state = trainer.tx.init(params)
+
+    # compile
+    params, opt_state, loss = trainer._train_step(params, opt_state, jax.random.key(1))
+    jax.block_until_ready(loss)
+
+    n_steps = 5
+    t0 = time.perf_counter()
+    for s in range(n_steps):
+        params, opt_state, loss = trainer._train_step(params, opt_state, jax.random.key(2 + s))
+    jax.block_until_ready(loss)
+    step_time = (time.perf_counter() - t0) / n_steps
+
+    directed_edges = 2 * n_edges
+    edges_per_sec = directed_edges * layers / step_time
+    return step_time, edges_per_sec, float(loss)
+
+
+def main():
+    import jax
+
+    device = str(jax.devices()[0])
+    result = {}
+
+    knn_s = _bench_knn()
+    result["metric"] = "ii_knn_63001x384_k20_build_time"
+    result["value"] = round(knn_s, 4)
+    result["unit"] = "s"
+    baseline_s = 100.40  # PHASE0_REPORT.md:180-183, n1-highmem-8
+    result["vs_baseline"] = round(baseline_s / knn_s, 2)
+
+    try:
+        step_time, eps, loss = _bench_gat_train()
+        result["gat_step_time_s"] = round(step_time, 4)
+        result["gat_train_edges_per_sec"] = round(eps)
+        result["gat_loss"] = round(loss, 4)
+    except Exception as e:  # noqa: BLE001 - record the failure, keep the headline metric
+        result["gat_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    result["device"] = device
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

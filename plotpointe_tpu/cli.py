@@ -1,0 +1,216 @@
+"""Unified CLI — `python -m plotpointe_tpu.cli <command>`.
+
+Replaces the reference's per-script argparse CLIs with one stable entrypoint
+(pattern of `plotpointe/embeddings/cli.py:26-45`). Commands map to pipeline
+stages: stage, validate, build-ui, build-knn, fuse, train, export, serve,
+gate, bench-smoke.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_synth(args):
+    from plotpointe_tpu.data.synthetic import synthetic_catalog, synthetic_interactions
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    df = synthetic_interactions(args.users, args.items, args.interactions, seed=args.seed)
+    items = synthetic_catalog(df, n_extra_items=args.extra_items, seed=args.seed)
+    store.save_parquet(df, f"{args.out}/interactions.parquet")
+    store.save_parquet(items, f"{args.out}/items.parquet")
+    print(json.dumps({"n_interactions": len(df), "n_items": len(items), "out": args.out}))
+
+
+def _cmd_validate(args):
+    from plotpointe_tpu.data.validate import validate
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    inter = store.load_parquet(f"{args.prefix}/interactions.parquet")
+    items = store.load_parquet(f"{args.prefix}/items.parquet")
+    rep = validate(inter, items)
+    print(json.dumps(rep.to_dict(), indent=2))
+    sys.exit(0 if rep.passed else 2)
+
+
+def _cmd_build_ui(args):
+    from plotpointe_tpu.graphs.ui_graph import build_ui_artifacts
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    inter = store.load_parquet(f"{args.staging_prefix}/interactions.parquet")
+    uris, stats = build_ui_artifacts(inter, args.output_prefix, store=store)
+    print(json.dumps(stats, indent=2))
+
+
+def _cmd_build_knn(args):
+    from plotpointe_tpu.graphs.knn import cosine_knn_graph
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    feats = store.load_npy(args.features)
+    _, stats = cosine_knn_graph(
+        np.asarray(feats),
+        out_prefix=args.output_prefix,
+        feature_name=args.feature_name,
+        k=args.k,
+        min_similarity=args.min_similarity,
+        store=store,
+    )
+    print(json.dumps(stats, indent=2))
+
+
+def _cmd_train(args):
+    from plotpointe_tpu.config import TrainConfig
+    from plotpointe_tpu.pipeline import train_from_artifacts
+
+    cfg = TrainConfig.from_env(
+        model_family=args.model_family,
+        hidden_dim=args.hidden_dim,
+        layers=args.layers,
+        heads=args.heads,
+        epochs=args.epochs,
+        samples_per_epoch=args.samples_per_epoch,
+        seed=args.seed,
+        eval_neg_k=args.eval_neg_k,
+        item_features=args.item_features,
+        loss=args.loss,
+        structured_logs=args.structured_logs,
+    )
+    results = train_from_artifacts(
+        cfg,
+        staging_prefix=args.staging_prefix,
+        embeddings_prefix=args.embeddings_prefix,
+        models_prefix=args.models_prefix,
+    )
+    print(json.dumps({"best_val_ndcg@20": results["best_val_ndcg@20"], "test": results["test"]}, indent=2))
+
+
+def _cmd_gate(args):
+    from plotpointe_tpu.tools.promotion_gate import main as gate_main
+
+    gate_main(
+        ["--current", args.current, "--baseline", args.baseline, "--split", args.split,
+         "--metric", args.metric, "--mode", args.mode, "--tol", str(args.tol)]
+    )
+
+
+def _cmd_export(args):
+    from plotpointe_tpu.tools.export import export_item_embeddings
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    interactions = store.load_parquet(f"{args.staging_prefix}/interactions.parquet")
+    feats = np.asarray(store.load_npy(args.features)) if args.features else None
+    emb = export_item_embeddings(
+        store.fetch(args.checkpoint), interactions, feats, args.out, store=store
+    )
+    print(json.dumps({"shape": list(emb.shape), "out": args.out}))
+
+
+def _cmd_serve(args):
+    import os
+
+    if args.stdlib or os.environ.get("PLOTPOINTE_STDLIB_HTTP"):
+        from plotpointe_tpu.serving.httpd import serve as stdlib_serve
+        from plotpointe_tpu.serving.runtime import RecommenderRuntime, ServingConfig
+
+        rt = None
+        uri = args.item_embeddings or os.environ.get("ITEM_EMBEDDINGS_URI")
+        if uri:
+            rt = RecommenderRuntime(ServingConfig(item_embeddings_uri=uri, topk=args.topk))
+            rt.startup()
+        print(json.dumps({"serving": f"http://{args.host}:{args.port}", "loaded": rt is not None}))
+        stdlib_serve(args.host, args.port, runtime=rt, block=True)
+        return
+
+    from plotpointe_tpu.serving.app import create_app
+    import uvicorn
+
+    app = create_app()
+    uvicorn.run(app, host=args.host, port=args.port)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="plotpointe_tpu", description="TPU-native graph recommender pipeline")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth", help="generate a synthetic staged dataset")
+    p.add_argument("--out", required=True)
+    p.add_argument("--users", type=int, default=2000)
+    p.add_argument("--items", type=int, default=1200)
+    p.add_argument("--interactions", type=int, default=50_000)
+    p.add_argument("--extra-items", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=_cmd_synth)
+
+    p = sub.add_parser("validate", help="contract-validate staged data")
+    p.add_argument("--prefix", required=True)
+    p.set_defaults(fn=_cmd_validate)
+
+    p = sub.add_parser("build-ui", help="build U-I graph artifacts")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--output-prefix", required=True)
+    p.set_defaults(fn=_cmd_build_ui)
+
+    p = sub.add_parser("build-knn", help="build item-item cosine kNN graph")
+    p.add_argument("--features", required=True)
+    p.add_argument("--output-prefix", required=True)
+    p.add_argument("--feature-name", default="fused")
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--min-similarity", type=float, default=0.3)
+    p.set_defaults(fn=_cmd_build_knn)
+
+    p = sub.add_parser("train", help="train GAT or LightGCN")
+    p.add_argument("--model-family", choices=["gat", "lightgcn"], default="gat")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--embeddings-prefix", required=True)
+    p.add_argument("--models-prefix", required=True)
+    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--heads", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--samples-per-epoch", type=int, default=200_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eval-neg-k", type=int, default=1000)
+    p.add_argument("--item-features", choices=["fused", "txt"], default="fused")
+    p.add_argument("--loss", choices=["bpr", "bce"], default="bpr")
+    p.add_argument("--structured-logs", action="store_true")
+    p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("gate", help="promotion gate")
+    p.add_argument("--current", required=True)
+    p.add_argument("--baseline", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--metric", default="ndcg@20")
+    p.add_argument("--mode", default="improve_or_equal")
+    p.add_argument("--tol", type=float, default=0.0)
+    p.set_defaults(fn=_cmd_gate)
+
+    p = sub.add_parser("export", help="export item embeddings from a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--features", default=None)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=_cmd_export)
+
+    p = sub.add_parser("serve", help="run the recommender HTTP API")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--stdlib", action="store_true", help="use the stdlib HTTP server (no fastapi)")
+    p.add_argument("--item-embeddings", default=None)
+    p.add_argument("--topk", type=int, default=20)
+    p.set_defaults(fn=_cmd_serve)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

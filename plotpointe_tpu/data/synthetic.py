@@ -1,0 +1,121 @@
+"""Synthetic Amazon-Electronics-shaped dataset generator.
+
+The reference's real data blobs are absent (`.MISSING_LARGE_BLOBS`), so tests,
+CPU-runnable configs and benches generate interaction data with the same
+schema and the same statistical shape: power-law user/item degrees (reference:
+user mean 7.07 sigma 6.97, item mean 21.6 sigma 65.3 - `PHASE0_REPORT.md:172`),
+ratings in [1,5], unix timestamps, and a latent-factor structure so that
+recommenders actually have signal to learn (random data would give NDCG ~= K/N
+and make quality tests meaningless).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def synthetic_interactions(
+    n_users: int = 2000,
+    n_items: int = 1200,
+    n_interactions: int = 50_000,
+    n_factors: int = 8,
+    seed: int = 0,
+    concentration: float = 1.2,
+    return_factors: bool = False,
+):
+    """Build an interactions table (user_id, asin, rating, ts, verified, helpful).
+
+    Users and items get latent factors; each user interacts mostly with items
+    aligned to their factor vector, sampled via per-user softmax over a random
+    candidate pool. Degrees follow a Zipf-ish law via user activity weights.
+    """
+    rng = np.random.default_rng(seed)
+
+    u_fac = rng.normal(size=(n_users, n_factors)).astype(np.float32)
+    i_fac = rng.normal(size=(n_items, n_factors)).astype(np.float32)
+    u_fac /= np.linalg.norm(u_fac, axis=1, keepdims=True)
+    i_fac /= np.linalg.norm(i_fac, axis=1, keepdims=True)
+
+    # Power-law user activity; every user gets >=2 interactions when possible
+    activity = rng.zipf(concentration + 1.0, size=n_users).astype(np.float64)
+    activity = activity / activity.sum()
+    users = rng.choice(n_users, size=n_interactions, p=activity)
+
+    # Item popularity prior (power law) mixed with affinity
+    popularity = rng.zipf(concentration + 0.8, size=n_items).astype(np.float64)
+    popularity = popularity / popularity.sum()
+
+    # Vectorized affinity-biased item choice: sample C candidates by popularity,
+    # then pick argmax over (affinity + gumbel noise) per interaction.
+    C = 16
+    cand = rng.choice(n_items, size=(n_interactions, C), p=popularity)
+    aff = np.einsum("nf,ncf->nc", u_fac[users], i_fac[cand]).astype(np.float32)
+    gumbel = rng.gumbel(size=(n_interactions, C)).astype(np.float32)
+    pick = np.argmax(aff * 3.0 + gumbel, axis=1)
+    items = cand[np.arange(n_interactions), pick]
+
+    # Ratings correlate with affinity; clip to [1, 5]
+    a = np.einsum("nf,nf->n", u_fac[users], i_fac[items])
+    rating = np.clip(np.round(3.0 + 2.0 * a + rng.normal(scale=0.7, size=n_interactions)), 1, 5)
+
+    ts = rng.integers(1_100_000_000, 1_500_000_000, size=n_interactions)
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([f"U{u:07d}" for u in users]),
+            "asin": np.array([f"B{i:09d}" for i in items]),
+            "rating": rating.astype(np.float64),
+            "ts": ts.astype(np.int64),
+            "verified": rng.random(n_interactions) < 0.8,
+            "helpful": rng.integers(0, 10, size=n_interactions).astype(np.int64),
+        }
+    )
+    # The reference treats (user, asin, ts) as unique (validate_amazon_electronics.py)
+    df = df.drop_duplicates(subset=["user_id", "asin", "ts"]).reset_index(drop=True)
+    if return_factors:
+        return df, (u_fac, i_fac)
+    return df
+
+
+def synthetic_catalog(interactions, n_extra_items: int = 0, seed: int = 0):
+    """Items table (asin, title, brand, price, categories, image_url) covering all
+    interacted asins plus `n_extra_items` cold items (the reference catalog has
+    498k items of which only 63k are interacted)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed + 1)
+    asins = list(pd.unique(interactions["asin"]))
+    asins += [f"B9{i:08d}" for i in range(n_extra_items)]
+    n = len(asins)
+    brands = [f"Brand{rng.integers(0, 50)}" for _ in range(n)]
+    cats = [["Electronics", f"Sub{rng.integers(0, 20)}"] for _ in range(n)]
+    has_img = rng.random(n) < 0.3  # reference: ~30% of items have usable images
+    return pd.DataFrame(
+        {
+            "asin": asins,
+            "title": [f"Synthetic item {a}" for a in asins],
+            "brand": brands,
+            "price": np.round(rng.gamma(2.0, 30.0, size=n), 2),
+            "categories": cats,
+            "image_url": [f"http://img.example/{a}.jpg" if h else None for a, h in zip(asins, has_img)],
+        }
+    )
+
+
+def synthetic_features(n_items: int, dim: int, seed: int = 0, factors: Optional[np.ndarray] = None) -> np.ndarray:
+    """L2-normalized synthetic item feature matrix (stand-in for txt/fused npy).
+
+    If `factors` given (from synthetic_interactions), features embed the latent
+    structure so feature-driven models have signal.
+    """
+    rng = np.random.default_rng(seed + 2)
+    feats = rng.normal(size=(n_items, dim)).astype(np.float32)
+    if factors is not None:
+        k = factors.shape[1]
+        proj = rng.normal(size=(k, dim)).astype(np.float32)
+        feats = feats * 0.3 + factors[:n_items] @ proj
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True) + 1e-8
+    return feats.astype(np.float32)

@@ -1,0 +1,156 @@
+"""SPMD training over a named mesh: edge-parallel message passing +
+batch-parallel scoring + gradient all-reduce, via shard_map.
+
+This is the framework's replacement for the reference's "no distributed
+training of any kind" (SURVEY.md section 2.3), following the scaling-book
+recipe: pick a mesh, shard the big axes, let collectives ride ICI.
+
+Sharding layout (1-D "data" mesh):
+  - node features / params: replicated (N x 128 @ Amazon scale is ~130 MB);
+  - edges: contiguous chunks of the dst-sorted padded edge arrays, one chunk
+    per device — each device computes partial per-destination softmax sums
+    over its local edges, combined with two `psum`s per layer;
+  - BPR triple batch: sharded; per-device partial losses psum-combined, so
+    gradients arrive all-reduced and the optimizer step is replicated.
+
+Correctness relies on the Graph layout invariants (csr.py): padding edges
+point at the sentinel node, so equal-size per-device chunks need no masking.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from plotpointe_tpu.graphs.csr import Graph
+from plotpointe_tpu.ops.segment import EPS, LEAKY_SLOPE, LOGIT_CLAMP
+from plotpointe_tpu.train.losses import LOSSES
+
+
+def shard_graph_by_edges(graph: Graph, n_shards: int) -> Graph:
+    """Re-pad the edge arrays so the padded count divides n_shards evenly
+    (contiguous equal chunks -> P('data') sharding needs no masking)."""
+    e_pad = graph.n_padded
+    target = ((e_pad + n_shards - 1) // n_shards) * n_shards
+    if target == e_pad:
+        return graph
+    extra = target - e_pad
+    pad_i = np.full(extra, graph.n_nodes, dtype=np.int32)
+    return Graph(
+        src=np.concatenate([np.asarray(graph.src), pad_i]),
+        dst=np.concatenate([np.asarray(graph.dst), pad_i]),
+        weight=np.concatenate([np.asarray(graph.weight), np.zeros(extra, np.float32)]),
+        row_ptr=np.asarray(graph.row_ptr),  # row_ptr covers only real edges + old pad; kernels use src/dst
+        n_nodes=graph.n_nodes,
+        n_edges=graph.n_edges,
+    )
+
+
+def _local_attention(h_pad, a_src, a_dst, src_l, dst_l, n_nodes, axis: str):
+    """One GAT attention layer over a local edge shard; psum-combined.
+    h_pad: [N+1, H, D] replicated. Returns [N, H, D] replicated."""
+    gs = jnp.einsum("nhd,hd->nh", h_pad, a_src)
+    gd = jnp.einsum("nhd,hd->nh", h_pad, a_dst)
+    e = gs[src_l] + gd[dst_l]
+    e = jnp.where(e > 0, e, LEAKY_SLOPE * e)
+    e = jnp.clip(e, -LOGIT_CLAMP, LOGIT_CLAMP)
+    num = jnp.exp(e)
+
+    denom_part = jax.ops.segment_sum(num, dst_l, num_segments=n_nodes + 1, indices_are_sorted=True)
+    denom = jax.lax.psum(denom_part, axis)
+    alpha = num / (denom[dst_l] + EPS)
+
+    msg = alpha[..., None] * h_pad[src_l]
+    out_part = jax.ops.segment_sum(msg, dst_l, num_segments=n_nodes + 1, indices_are_sorted=True)
+    out = jax.lax.psum(out_part, axis)
+    return out[:n_nodes]
+
+
+def sharded_attention(
+    mesh: Mesh,
+    h: jax.Array,  # [N, H, D]
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    graph: Graph,
+    axis: str = "data",
+) -> jax.Array:
+    """Edge-parallel segment-softmax attention (forward primitive, used by
+    tests and as the building block of the sharded train step)."""
+    n = graph.n_nodes
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def f(h, a_s, a_d, src_l, dst_l):
+        h_pad = jnp.concatenate([h, jnp.zeros((1,) + h.shape[1:], h.dtype)], axis=0)
+        return _local_attention(h_pad, a_s, a_d, src_l, dst_l, n, axis)
+
+    return f(h, a_src, a_dst, jnp.asarray(graph.src), jnp.asarray(graph.dst))
+
+
+def make_sharded_train_step(
+    model,
+    loss_name: str,
+    mesh: Mesh,
+    n_users: int,
+    n_items: int,
+    axis: str = "data",
+) -> Callable:
+    """Build a jitted multi-device GAT training step.
+
+    Returns step(params, item_feats, src, dst, u, i, j) -> (grads, loss) with
+    edges and the triple batch sharded over `axis`, gradients all-reduced.
+    (The optimizer update is pure elementwise and runs replicated outside.)
+    """
+    n_nodes = n_users + n_items
+    loss_fn_elem = LOSSES[loss_name]
+
+    def forward(params, item_feats, src_l, dst_l):
+        x = model.node_features(params, item_feats)
+        for layer in params["layers"]:
+            h = jnp.einsum("nf,fhd->nhd", x, layer["w"])
+            h_pad = jnp.concatenate([h, jnp.zeros((1,) + h.shape[1:], h.dtype)], axis=0)
+            out = _local_attention(h_pad, layer["a_src"], layer["a_dst"], src_l, dst_l, n_nodes, axis)
+            x = out.mean(axis=1)
+            if model.use_bias:
+                x = x + layer["b"]
+        return x
+
+    @jax.jit
+    def step(params, item_feats, src, dst, u, i, j):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+        )
+        def inner(params, item_feats, src_l, dst_l, u_l, i_l, j_l):
+            def local_loss(p):
+                z = forward(p, item_feats, src_l, dst_l)
+                U, I = z[:n_users], z[n_users:]
+                pos = jnp.sum(U[u_l] * I[i_l], axis=-1)
+                neg = jnp.sum(U[u_l] * I[j_l], axis=-1)
+                # mean over the GLOBAL batch: local mean / n_shards, psum'd below
+                return loss_fn_elem(pos, neg) / jax.lax.psum(1, axis)
+
+            loss_l, grads_l = jax.value_and_grad(local_loss)(params)
+            grads = jax.lax.psum(grads_l, axis)
+            loss = jax.lax.psum(loss_l, axis)
+            return grads, loss
+
+        return inner(params, item_feats, src, dst, u, i, j)
+
+    return step

@@ -1,0 +1,94 @@
+"""Serving runtime: mean-history user vector -> top-K dot-product retrieval.
+
+Behavior parity with `serving/runtime.py:19-76` of the reference (user vector
+= mean of history item vectors, history masked to -1e9, top-K by score), but
+the scoring path runs on-device: one [n_items, d] @ [d] GEMV + `lax.top_k`
+under jit (or the Pallas MIPS kernel for the fused scan), instead of numpy
+argpartition on CPU. Artifact loading goes through the ArtifactStore, so
+`item_embeddings.npy` can live on local disk or GCS.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+
+@dataclass
+class ServingConfig:
+    item_embeddings_uri: str
+    item_index_map_uri: Optional[str] = None
+    topk: int = 20
+    project_id: Optional[str] = None
+    use_device: bool = True  # False -> pure numpy (tiny deployments, no JAX device)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_scores(item_vecs: jax.Array, history: jax.Array, hist_mask: jax.Array, k: int):
+    """history: [Hmax] int32 padded with 0, hist_mask: [Hmax] float {0,1}."""
+    hvecs = item_vecs[history] * hist_mask[:, None]
+    user_vec = hvecs.sum(axis=0) / jnp.maximum(hist_mask.sum(), 1.0)
+    scores = item_vecs @ user_vec
+    # mask history items to -1e9 (parity with serving/runtime.py:69)
+    scores = scores.at[history].set(jnp.where(hist_mask > 0, -1e9, scores[history]))
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_idx, top_scores
+
+
+class RecommenderRuntime:
+    HIST_PAD = 64  # static history length buckets: 64, 128, ... (power-of-2 growth)
+
+    def __init__(self, cfg: ServingConfig, store: Optional[ArtifactStore] = None):
+        self.cfg = cfg
+        self.store = store or ArtifactStore(project_id=cfg.project_id)
+        self.item_vecs: Optional[np.ndarray] = None
+        self._item_vecs_dev = None
+        self.item_to_idx: Optional[dict] = None
+
+    def startup(self) -> None:
+        self.item_vecs = np.asarray(self.store.load_npy(self.cfg.item_embeddings_uri), dtype=np.float32)
+        if self.cfg.use_device:
+            self._item_vecs_dev = jnp.asarray(self.item_vecs)
+        if self.cfg.item_index_map_uri:
+            self.item_to_idx = self.store.load_json(self.cfg.item_index_map_uri)
+
+    def _ensure_started(self):
+        if self.item_vecs is None:
+            raise RuntimeError("Runtime not started. Call startup().")
+
+    def top_k_for_user_items(self, item_ids: List[int], k: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        self._ensure_started()
+        assert len(item_ids) > 0, "Need at least one item id from user history"
+        K = int(k or self.cfg.topk)
+        ids = np.asarray(item_ids, dtype=np.int32)
+
+        if not self.cfg.use_device:
+            return self._topk_numpy(ids, K)
+
+        # pad history to the next static bucket so jit caches a few shapes only
+        hmax = self.HIST_PAD
+        while hmax < len(ids):
+            hmax *= 2
+        hist = np.zeros(hmax, dtype=np.int32)
+        mask = np.zeros(hmax, dtype=np.float32)
+        hist[: len(ids)] = ids
+        mask[: len(ids)] = 1.0
+        idx, scores = _topk_scores(self._item_vecs_dev, jnp.asarray(hist), jnp.asarray(mask), K)
+        return np.asarray(idx), np.asarray(scores)
+
+    def _topk_numpy(self, ids: np.ndarray, K: int) -> Tuple[np.ndarray, np.ndarray]:
+        item_vecs = self.item_vecs[ids]
+        user_vec = item_vecs.mean(axis=0)
+        scores = self.item_vecs @ user_vec
+        scores[ids] = -1e9
+        top_idx = np.argpartition(scores, -K)[-K:]
+        order = np.argsort(scores[top_idx])[::-1]
+        top_idx = top_idx[order]
+        return top_idx, scores[top_idx]

@@ -1,0 +1,214 @@
+"""Training harness: jit'd epoch step, sampled eval, best-by-val checkpointing.
+
+Harness parity with the reference trainers (`train_gat_custom.py:341-377`):
+one optimizer step per epoch over `samples_per_epoch` sampled BPR/BCE triples,
+full-graph forward, per-epoch val eval, keep-best-by-val-NDCG@20, final test
+eval from the best checkpoint, metrics JSON with embedded config. Optimizer
+matches torch.optim.Adam(lr, weight_decay=l2): L2 added to the gradient
+*before* the Adam moments (optax.add_decayed_weights before scale_by_adam —
+NOT decoupled AdamW).
+
+TPU-first: sampling, forward, loss, backward and the optimizer update are one
+jitted function; evaluation is chunked MXU matmuls (train/evaluate.py); no
+host<->device round-trip inside an epoch.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from plotpointe_tpu.config import TrainConfig
+from plotpointe_tpu.data.splits import Splits, padded_positives
+from plotpointe_tpu.graphs.csr import Graph, symmetric_normalized_weights
+from plotpointe_tpu.train.evaluate import sampled_eval
+from plotpointe_tpu.train.losses import LOSSES
+from plotpointe_tpu.train.sampling import sample_bpr_triples
+from plotpointe_tpu.train.checkpoint import save_checkpoint
+from plotpointe_tpu.utils.logging import log_event
+
+
+def make_optimizer(lr: float, l2: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay=l2) semantics."""
+    return optax.chain(
+        optax.add_decayed_weights(l2),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+    best_val_ndcg20: float = -1.0
+    best_params: Any = None
+
+
+class Trainer:
+    """Drives one model (GAT or LightGCN) through the reference protocol."""
+
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        graph: Graph,
+        splits: Splits,
+        item_feats: Optional[np.ndarray] = None,
+        max_pos_degree: int = 512,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.graph = graph.to_device()
+        self.splits = splits
+        self.n_users, self.n_items = splits.n_users, splits.n_items
+
+        feats = item_feats if item_feats is not None else np.zeros((self.n_items, 1), np.float32)
+        self.item_feats = jnp.asarray(feats, dtype=jnp.float32)
+
+        pos_table, deg = padded_positives(splits, max_degree=max_pos_degree)
+        self.user_pos_padded = jnp.asarray(pos_table)
+        self.user_deg = jnp.asarray(deg)
+        self.train_users = jnp.asarray(np.flatnonzero(deg > 0).astype(np.int32))
+
+        self.norm_values = None
+        if getattr(model, "config_dict", lambda: {})().get("model_family") == "lightgcn":
+            self.norm_values = jnp.asarray(symmetric_normalized_weights(graph))
+
+        self.tx = make_optimizer(cfg.lr, cfg.l2)
+        self._loss_name = cfg.loss
+
+    # -- core jitted step ----------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _train_step(self, params, opt_state, key):
+        k_sample, k_drop = jax.random.split(key)
+        u, i, j = sample_bpr_triples(
+            k_sample,
+            self.train_users,
+            self.user_pos_padded,
+            self.user_deg,
+            self.n_items,
+            self.cfg.samples_per_epoch,
+        )
+
+        def loss_fn(p):
+            z = self.model.apply(
+                p,
+                self.item_feats,
+                self.graph,
+                **({"norm_values": self.norm_values} if self.norm_values is not None else {}),
+                **({"train": True, "rng": k_drop} if self.norm_values is None else {}),
+            )
+            U, I = z[: self.n_users], z[self.n_users :]
+            pos = jnp.sum(U[u] * I[i], axis=-1)
+            neg = jnp.sum(U[u] * I[j], axis=-1)
+            return LOSSES[self._loss_name](pos, neg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _forward_eval(self, params):
+        z = self.model.apply(
+            params,
+            self.item_feats,
+            self.graph,
+            **({"norm_values": self.norm_values} if self.norm_values is not None else {}),
+        )
+        return z[: self.n_users], z[self.n_users :]
+
+    def evaluate(self, params, eval_u: np.ndarray, eval_i: np.ndarray, key) -> Dict[str, float]:
+        U, I = self._forward_eval(params)
+        return sampled_eval(
+            U,
+            I,
+            eval_u,
+            eval_i,
+            self.user_pos_padded,
+            self.user_deg,
+            key,
+            neg_k=self.cfg.eval_neg_k,
+            chunk=self.cfg.eval_chunk,
+        )
+
+    # -- fit -----------------------------------------------------------------
+
+    def fit(self, key: Optional[jax.Array] = None, checkpoint_path: Optional[str] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        key = key if key is not None else jax.random.key(cfg.seed)
+        k_init, k_train, k_eval = jax.random.split(key, 3)
+
+        params = self.model.init(k_init)
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, opt_state=opt_state, best_params=params)
+
+        run_id = cfg.run_id or f"{cfg.model_family}_d{cfg.hidden_dim}_{int(time.time())}"
+        if cfg.structured_logs:
+            log_event("run_start", run_id=run_id, model_family=cfg.model_family, config=cfg.to_dict())
+
+        history = []
+        val_metrics: Dict[str, float] = {}
+        t_start = time.perf_counter()
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.perf_counter()
+            k_epoch = jax.random.fold_in(k_train, epoch)
+            state.params, state.opt_state, loss = self._train_step(state.params, state.opt_state, k_epoch)
+            loss = float(loss)
+            step_time = time.perf_counter() - t0
+
+            val_metrics = (
+                self.evaluate(state.params, self.splits.val_u, self.splits.val_i, jax.random.fold_in(k_eval, epoch))
+                if len(self.splits.val_u)
+                else {}
+            )
+            history.append({"epoch": epoch, "loss": loss, "step_time_s": step_time, **{f"val_{k}": v for k, v in val_metrics.items()}})
+            if cfg.structured_logs:
+                log_event("epoch_end", run_id=run_id, epoch=epoch, loss=loss, val=val_metrics)
+
+            ndcg20 = val_metrics.get("ndcg@20", 0.0)
+            if ndcg20 > state.best_val_ndcg20:
+                state.best_val_ndcg20 = ndcg20
+                state.best_params = state.params
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, state.best_params, self.model.config_dict() | {"train_config": cfg.to_dict()})
+            state.epoch = epoch
+
+        # no-val datasets (all users have exactly 2 interactions): best = last
+        if state.best_val_ndcg20 < 0:
+            state.best_params = state.params
+
+        test_metrics = self.evaluate(
+            state.best_params, self.splits.test_u, self.splits.test_i, jax.random.fold_in(k_eval, 10_000)
+        )
+        wall = time.perf_counter() - t_start
+
+        results = {
+            "best_val_ndcg@20": float(state.best_val_ndcg20),
+            "val": val_metrics,
+            "test": test_metrics,
+            "config": cfg.to_dict() | self.model.config_dict(),
+            "history": history,
+            "wall_time_s": wall,
+            "run_id": run_id,
+            "notes": f"one-backward-per-epoch, {cfg.samples_per_epoch} sampled triples, loss={cfg.loss}",
+        }
+        if cfg.structured_logs:
+            log_event("run_complete", run_id=run_id, best_val_ndcg20=results["best_val_ndcg@20"], test=test_metrics)
+        self.state = state
+        return results
+
+    def export_item_embeddings(self, params) -> np.ndarray:
+        """Item-side embeddings from a full forward (tools/export_item_embeddings.py:139-150)."""
+        _, I = self._forward_eval(params)
+        return np.asarray(I, dtype=np.float32)

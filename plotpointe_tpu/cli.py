@@ -82,6 +82,7 @@ def _cmd_train(args):
         item_features=args.item_features,
         loss=args.loss,
         structured_logs=args.structured_logs,
+        attn_impl=args.attn_impl,
     )
     results = train_from_artifacts(
         cfg,
@@ -181,6 +182,7 @@ def main(argv=None):
     p.add_argument("--eval-neg-k", type=int, default=1000)
     p.add_argument("--item-features", choices=["fused", "txt"], default="fused")
     p.add_argument("--loss", choices=["bpr", "bce"], default="bpr")
+    p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
     p.add_argument("--structured-logs", action="store_true")
     p.set_defaults(fn=_cmd_train)
 

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Graph:
-    """Static-shape directed graph. Arrays may be numpy (host) or jax (device)."""
+    """Static-shape directed graph. Arrays may be numpy (host) or jax (device).
+
+    `chunk_base`/`c_max`/`tile_nb`/`tile_eb` are the Pallas attention-kernel
+    tiling: for destination-node tile t (covering nodes [t*NB, (t+1)*NB)),
+    the tile's incoming edges live in EB-sized edge chunks starting at chunk
+    index chunk_base[t]; every tile needs at most c_max chunks. Built by
+    `with_tiling` on the host (requires numpy row_ptr)."""
 
     src: jax.Array  # int32 [E_pad], dst-sorted, padding = n_nodes
     dst: jax.Array  # int32 [E_pad]
@@ -35,19 +41,47 @@ class Graph:
     row_ptr: jax.Array  # int32 [n_nodes + 2] CSR over dst (last segment = padding)
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))  # valid (unpadded) count
+    chunk_base: jax.Array | None = dataclasses.field(default=None)
+    c_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+    tile_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
+    tile_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_padded(self) -> int:
         return int(self.src.shape[0])
 
     def to_device(self) -> "Graph":
-        return Graph(
+        return dataclasses.replace(
+            self,
             src=jnp.asarray(self.src),
             dst=jnp.asarray(self.dst),
             weight=jnp.asarray(self.weight),
             row_ptr=jnp.asarray(self.row_ptr),
-            n_nodes=self.n_nodes,
-            n_edges=self.n_edges,
+            chunk_base=None if self.chunk_base is None else jnp.asarray(self.chunk_base),
+        )
+
+    def with_tiling(self, nb: int = 256, eb: int = 1024) -> "Graph":
+        """Attach Pallas attention tiling metadata (host-side, numpy row_ptr)."""
+        rp = np.asarray(self.row_ptr)
+        e_pad = self.n_padded
+        if e_pad % eb != 0:
+            raise ValueError(f"padded edge count {e_pad} must be a multiple of eb={eb}")
+        n_tiles = (self.n_nodes + 1 + nb - 1) // nb
+        # edge range of tile t: [rp[min(t*nb, len-1)], rp[min((t+1)*nb, len-1)])
+        starts = rp[np.minimum(np.arange(n_tiles) * nb, len(rp) - 1)]
+        ends = rp[np.minimum((np.arange(n_tiles) + 1) * nb, len(rp) - 1)].copy()
+        # the tile containing the sentinel row also owns the padding edges
+        ends[-1] = e_pad
+        cb = starts // eb
+        c_end = np.maximum((ends + eb - 1) // eb, cb)  # exclusive chunk end
+        c_max = int(np.max(c_end - cb)) if n_tiles else 1
+        c_max = max(c_max, 1)
+        return dataclasses.replace(
+            self,
+            chunk_base=cb.astype(np.int32),
+            c_max=c_max,
+            tile_nb=int(nb),
+            tile_eb=int(eb),
         )
 
 
@@ -62,27 +96,17 @@ def build_graph(
     weight: np.ndarray | None = None,
     pad_multiple: int = 1024,
 ) -> Graph:
-    """Sort edges by (dst, src), pad to a static multiple, build CSR row_ptr."""
+    """Sort edges by (dst, src), pad to a static multiple, build CSR row_ptr.
+    Uses the native O(E) counting-sort builder (plotpointe_tpu.native) with a
+    numpy lexsort fallback."""
+    from plotpointe_tpu import native
+
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     e = len(src)
-    w = np.ones(e, dtype=np.float32) if weight is None else np.asarray(weight, dtype=np.float32)
-
-    order = np.lexsort((src, dst))
-    src, dst, w = src[order], dst[order], w[order]
-
     e_pad = max(_round_up(e, pad_multiple), pad_multiple)
-    pad = e_pad - e
-    src = np.concatenate([src, np.full(pad, n_nodes, dtype=np.int64)]).astype(np.int32)
-    dst = np.concatenate([dst, np.full(pad, n_nodes, dtype=np.int64)]).astype(np.int32)
-    w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
-
-    # CSR over destinations, including the sentinel row (n_nodes) for padding.
-    counts = np.bincount(dst, minlength=n_nodes + 1)
-    row_ptr = np.zeros(n_nodes + 2, dtype=np.int32)
-    np.cumsum(counts, out=row_ptr[1:])
-
-    return Graph(src=src, dst=dst, weight=w, row_ptr=row_ptr, n_nodes=n_nodes, n_edges=e)
+    out_src, out_dst, out_w, row_ptr = native.build_csr(src, dst, weight, n_nodes, e_pad)
+    return Graph(src=out_src, dst=out_dst, weight=out_w, row_ptr=row_ptr, n_nodes=n_nodes, n_edges=e)
 
 
 def build_bipartite_graph(

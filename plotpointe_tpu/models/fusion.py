@@ -4,10 +4,10 @@ Parity with `embeddings/fuse_modal.py:18-72`:
   FusionMLP: concat(txt 384 + img 512) -> Linear 256 -> ReLU -> Dropout 0.1
              -> Linear 128; plus per-modality projection heads txt_proj /
              img_proj into the fused space.
-  Loss: symmetric InfoNCE — fused vs txt_proj... (note: the reference
-  contrasts fused against the *raw* modality embeddings, not the projections;
-  we match that: sim(fused_norm, txt_norm)/T and sim(fused_norm, img_norm)/T
-  with in-batch negatives, cross-entropy on the diagonal, averaged).
+  Loss: symmetric InfoNCE between the fused vector and the PROJECTED
+  modalities (`fuse_modal.py:192-197`: txt_proj(batch_txt), img_proj(batch_img)
+  both in output_dim space): sim(fused_n, proj_n)/T with in-batch negatives,
+  cross-entropy on the diagonal, averaged over the two modalities.
   Inference over all items uses the mean image embedding as the fallback for
   items without images (`fuse_modal.py:216-242`), vectorized here with a
   scatter instead of the reference's per-element Python loop.
@@ -123,7 +123,9 @@ def train_fusion(
     def step(params, opt_state, tb, ib, rng):
         def loss_fn(p):
             fused = model.apply(p, tb, ib, train=True, rng=rng)
-            loss, lt, li = infonce_fusion_loss(fused, tb, ib, cfg.temperature)
+            tproj = tb @ p["txt_proj"]["w"] + p["txt_proj"]["b"]
+            iproj = ib @ p["img_proj"]["w"] + p["img_proj"]["b"]
+            loss, lt, li = infonce_fusion_loss(fused, tproj, iproj, cfg.temperature)
             return loss, (lt, li)
 
         (loss, (lt, li)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

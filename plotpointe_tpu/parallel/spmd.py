@@ -129,6 +129,8 @@ def make_sharded_train_step(
                 x = x + layer["b"]
         return x
 
+    n_shards = int(mesh.shape[axis])
+
     @jax.jit
     def step(params, item_feats, src, dst, u, i, j):
         @functools.partial(
@@ -143,13 +145,17 @@ def make_sharded_train_step(
                 U, I = z[:n_users], z[n_users:]
                 pos = jnp.sum(U[u_l] * I[i_l], axis=-1)
                 neg = jnp.sum(U[u_l] * I[j_l], axis=-1)
-                # mean over the GLOBAL batch: local mean / n_shards, psum'd below
-                return loss_fn_elem(pos, neg) / jax.lax.psum(1, axis)
+                # mean over the GLOBAL batch = local mean / n_shards, summed
+                # across devices at the shard_map boundary
+                return loss_fn_elem(pos, neg) / n_shards
 
             loss_l, grads_l = jax.value_and_grad(local_loss)(params)
-            grads = jax.lax.psum(grads_l, axis)
-            loss = jax.lax.psum(loss_l, axis)
-            return grads, loss
+            # NOTE: no explicit psum on grads. Under shard_map's varying-axes
+            # typing (jax>=0.7 check_vma), the transpose of the internal psums
+            # plus the replicated P() out_spec already insert the cross-device
+            # reduction; an explicit psum here double-counts (verified against
+            # the single-device reference in tests/test_spmd.py).
+            return grads_l, jax.lax.psum(loss_l, axis)
 
         return inner(params, item_feats, src, dst, u, i, j)
 

@@ -32,6 +32,7 @@ def make_model(cfg: TrainConfig, n_users: int, n_items: int, feat_dim: int):
             n_layers=cfg.layers,
             heads=cfg.heads,
             attn_dropout=cfg.attn_dropout,
+            attn_impl=cfg.attn_impl,
         )
     if cfg.model_family == "lightgcn":
         return LightGCNModel(

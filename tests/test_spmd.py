@@ -1,0 +1,86 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded attention and
+the sharded train step must match single-device results exactly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plotpointe_tpu.graphs.csr import build_bipartite_graph
+from plotpointe_tpu.models.gat import GATModel
+from plotpointe_tpu.ops.segment import segment_softmax_attention
+from plotpointe_tpu.parallel.mesh import make_mesh, parse_mesh_shape
+from plotpointe_tpu.parallel.spmd import (
+    make_sharded_train_step,
+    shard_graph_by_edges,
+    sharded_attention,
+)
+from plotpointe_tpu.train.losses import bpr_loss
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    rng = np.random.default_rng(0)
+    n_users, n_items = 60, 40
+    tu = rng.integers(0, n_users, 400).astype(np.int32)
+    ti = rng.integers(0, n_items, 400).astype(np.int32)
+    g = build_bipartite_graph(tu, ti, n_users, n_items, pad_multiple=64)
+    g = shard_graph_by_edges(g, 8)
+    feats = rng.normal(size=(n_items, 16)).astype(np.float32)
+    model = GATModel(n_users=n_users, n_items=n_items, feat_dim=16, hidden_dim=16, n_layers=2)
+    params = model.init(jax.random.key(0))
+    return g, feats, model, params, (n_users, n_items)
+
+
+def test_parse_mesh_shape():
+    assert parse_mesh_shape("data:4,model:2") == {"data": 4, "model": 2}
+
+
+@pytest.mark.multidevice
+def test_sharded_attention_matches_single(devices8, setup):
+    g, feats, model, params, _ = setup
+    mesh = make_mesh({"data": 8}, devices=devices8)
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.normal(size=(g.n_nodes, 1, 16)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(1, 16)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(1, 16)).astype(np.float32))
+
+    want = segment_softmax_attention(h, a_s, a_d, g.to_device())
+    got = sharded_attention(mesh, h, a_s, a_d, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.multidevice
+def test_sharded_train_step_matches_single(devices8, setup):
+    g, feats, model, params, (n_users, n_items) = setup
+    mesh = make_mesh({"data": 8}, devices=devices8)
+    step = make_sharded_train_step(model, "bpr", mesh, n_users, n_items)
+
+    rng = np.random.default_rng(2)
+    B = 64
+    u = jnp.asarray(rng.integers(0, n_users, B).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    j = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    feats_j = jnp.asarray(feats)
+
+    grads, loss = step(params, feats_j, jnp.asarray(g.src), jnp.asarray(g.dst), u, i, j)
+
+    # single-device reference
+    gd = g.to_device()
+
+    def ref_loss(p):
+        z = model.apply(p, feats_j, gd)
+        U, I = z[:n_users], z[n_users:]
+        return bpr_loss(jnp.sum(U[u] * I[i], -1), jnp.sum(U[u] * I[j], -1))
+
+    want_loss, want_grads = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(want_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.multidevice
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -66,6 +66,74 @@ def _cmd_build_knn(args):
     print(json.dumps(stats, indent=2))
 
 
+def _cmd_embed_text(args):
+    from plotpointe_tpu.models.embed_stages import embed_text_stage
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    items = store.load_parquet(f"{args.staging_prefix}/items.parquet")
+    _, meta = embed_text_stage(items, args.output_prefix, store=store, batch_size=args.batch_size)
+    print(json.dumps(meta, indent=2))
+
+
+def _cmd_embed_image(args):
+    from plotpointe_tpu.models.embed_stages import embed_image_stage
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    items = store.load_parquet(f"{args.staging_prefix}/items.parquet")
+    _, meta = embed_image_stage(
+        items,
+        args.output_prefix,
+        store=store,
+        chunk_start=args.chunk_start,
+        chunk_end=args.chunk_end,
+        chunk_id=args.chunk_id,
+        max_items=args.max_items,
+        seed=args.seed,
+    )
+    print(json.dumps(meta, indent=2))
+
+
+def _cmd_merge_images(args):
+    from plotpointe_tpu.models.embed_stages import merge_image_chunks
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    emb, items = merge_image_chunks(args.output_prefix, args.n_chunks, store=ArtifactStore())
+    print(json.dumps({"n_images": int(emb.shape[0]), "dims": int(emb.shape[1])}))
+
+
+def _cmd_fuse(args):
+    from plotpointe_tpu.config import FusionConfig
+    from plotpointe_tpu.models.embed_stages import fuse_stage
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    items = store.load_parquet(f"{args.staging_prefix}/items.parquet")
+    fused, cfg_out = fuse_stage(
+        args.embeddings_prefix,
+        out_prefix=args.output_prefix,
+        cfg=FusionConfig.from_env(epochs=args.epochs, batch_size=args.batch_size),
+        store=store,
+        items=items,
+    )
+    print(json.dumps({"shape": list(fused.shape), "n_with_images": cfg_out["n_with_images"]}))
+
+
+def _cmd_build_subset(args):
+    from plotpointe_tpu.data.subset import build_interacted_subset
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    store = ArtifactStore()
+    items = store.load_parquet(f"{args.staging_prefix}/items.parquet")
+    interactions = store.load_parquet(f"{args.staging_prefix}/interactions.parquet")
+    full = np.asarray(store.load_npy(args.features, mmap=True))
+    subset, asins = build_interacted_subset(
+        full, items, interactions, out_prefix=args.output_prefix, feature_name=args.feature_name, store=store
+    )
+    print(json.dumps({"shape": list(subset.shape), "n_interacted": len(asins)}))
+
+
 def _cmd_train(args):
     from plotpointe_tpu.config import TrainConfig
     from plotpointe_tpu.pipeline import train_from_artifacts
@@ -167,6 +235,42 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--min-similarity", type=float, default=0.3)
     p.set_defaults(fn=_cmd_build_knn)
+
+    p = sub.add_parser("embed-text", help="text embeddings (txt.npy)")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--output-prefix", required=True)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.set_defaults(fn=_cmd_embed_text)
+
+    p = sub.add_parser("embed-image", help="image embeddings (img.npy), chunk-shardable")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--output-prefix", required=True)
+    p.add_argument("--chunk-start", type=int, default=None)
+    p.add_argument("--chunk-end", type=int, default=None)
+    p.add_argument("--chunk-id", type=int, default=None)
+    p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=_cmd_embed_image)
+
+    p = sub.add_parser("merge-images", help="merge image embedding chunks")
+    p.add_argument("--output-prefix", required=True)
+    p.add_argument("--n-chunks", type=int, required=True)
+    p.set_defaults(fn=_cmd_merge_images)
+
+    p = sub.add_parser("fuse", help="train fusion MLP, emit fused.npy")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--embeddings-prefix", required=True)
+    p.add_argument("--output-prefix", default=None)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.set_defaults(fn=_cmd_fuse)
+
+    p = sub.add_parser("build-subset", help="slice full-catalog features to interacted items")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--output-prefix", required=True)
+    p.add_argument("--feature-name", default="txt")
+    p.set_defaults(fn=_cmd_build_subset)
 
     p = sub.add_parser("train", help="train GAT or LightGCN")
     p.add_argument("--model-family", choices=["gat", "lightgcn"], default="gat")

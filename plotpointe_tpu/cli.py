@@ -195,8 +195,14 @@ def _cmd_serve(args):
         if uri:
             rt = RecommenderRuntime(ServingConfig(item_embeddings_uri=uri, topk=args.topk))
             rt.startup()
-        print(json.dumps({"serving": f"http://{args.host}:{args.port}", "loaded": rt is not None}))
-        stdlib_serve(args.host, args.port, runtime=rt, block=True)
+        telemetry = None
+        if args.telemetry_dir:
+            from plotpointe_tpu.serving.telemetry import ServingTelemetry
+
+            telemetry = ServingTelemetry(root=args.telemetry_dir)
+        print(json.dumps({"serving": f"http://{args.host}:{args.port}", "loaded": rt is not None,
+                          "telemetry": bool(telemetry)}))
+        stdlib_serve(args.host, args.port, runtime=rt, telemetry=telemetry, block=True)
         return
 
     from plotpointe_tpu.serving.app import create_app
@@ -204,6 +210,49 @@ def _cmd_serve(args):
 
     app = create_app()
     uvicorn.run(app, host=args.host, port=args.port)
+
+
+def _cmd_smoke(args):
+    from plotpointe_tpu.tools.smoke_tpu import main as smoke_main
+
+    smoke_main([])
+
+
+def _cmd_validate_manifests(args):
+    from plotpointe_tpu.tools.manifest_validate import main as mv_main
+
+    mv_main(["--registry", args.registry] + (["--manifest-id", args.manifest_id] if args.manifest_id else []))
+
+
+def _cmd_pipeline(args):
+    """Run the full pipeline in-process: the reference's run_pipeline_v2.sh
+    as one orchestrated command."""
+    import subprocess
+
+    base = [sys.executable, "-m", "plotpointe_tpu.cli"]
+    d = args.workdir
+    steps = [
+        ["synth", "--out", f"{d}/staging", "--users", str(args.users), "--items", str(args.items),
+         "--interactions", str(args.interactions), "--extra-items", str(args.extra_items)],
+        ["validate", "--prefix", f"{d}/staging"],
+        ["embed-text", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings"],
+        ["embed-image", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings"],
+        ["fuse", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
+         "--epochs", "2", "--batch-size", "256"],
+        ["build-ui", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/graphs"],
+        ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/fused.npy",
+         "--output-prefix", f"{d}/embeddings", "--feature-name", "fused"],
+        ["build-knn", "--features", f"{d}/embeddings/fused_interacted.npy", "--output-prefix", f"{d}/graphs"],
+        ["train", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
+         "--models-prefix", f"{d}/models", "--item-features", "fused",
+         "--epochs", str(args.epochs), "--samples-per-epoch", str(args.samples_per_epoch),
+         "--eval-neg-k", str(args.eval_neg_k), "--hidden-dim", str(args.hidden_dim),
+         "--attn-impl", args.attn_impl],
+    ]
+    for step in steps:
+        print(f"[pipeline] {' '.join(step)}", flush=True)
+        subprocess.run(base + step, check=True)
+    print(json.dumps({"pipeline": "complete", "workdir": d}))
 
 
 def main(argv=None):
@@ -312,7 +361,29 @@ def main(argv=None):
     p.add_argument("--stdlib", action="store_true", help="use the stdlib HTTP server (no fastapi)")
     p.add_argument("--item-embeddings", default=None)
     p.add_argument("--topk", type=int, default=20)
+    p.add_argument("--telemetry-dir", default=None, help="enable request/feedback JSONL telemetry")
     p.set_defaults(fn=_cmd_serve)
+
+    p = sub.add_parser("smoke-tpu", help="TPU capability smoke test (5 checks)")
+    p.set_defaults(fn=_cmd_smoke)
+
+    p = sub.add_parser("validate-manifests", help="check manifest artifact prefixes exist")
+    p.add_argument("--registry", default="manifests/registry.json")
+    p.add_argument("--manifest-id", default=None)
+    p.set_defaults(fn=_cmd_validate_manifests)
+
+    p = sub.add_parser("pipeline", help="run the full synth->train pipeline in one command")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--users", type=int, default=2000)
+    p.add_argument("--items", type=int, default=1200)
+    p.add_argument("--interactions", type=int, default=50_000)
+    p.add_argument("--extra-items", type=int, default=300)
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--samples-per-epoch", type=int, default=50_000)
+    p.add_argument("--eval-neg-k", type=int, default=500)
+    p.add_argument("--hidden-dim", type=int, default=64)
+    p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.set_defaults(fn=_cmd_pipeline)
 
     args = ap.parse_args(argv)
     args.fn(args)

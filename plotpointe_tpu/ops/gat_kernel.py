@@ -121,6 +121,112 @@ def _fused_segment_reduce(
     return out
 
 
+# ---------------------------------------------------------------------------
+# v2: single-pass fully fused layer (heads == 1 flagship path)
+# ---------------------------------------------------------------------------
+
+
+def _fused_layer_kernel(nb: int, eb: int, d: int, n_eblocks: int):
+    """Grid = (T, C). Computes, for one dst tile across its edge chunks:
+    logits from the gathered source rows + the tile's own dst rows, exp with
+    the reference clamp, the per-destination denominator (in-tile: a dst's
+    edges are fully inside its tile's chunk range), dropout-masked numerator
+    aggregation via the weighted one-hot MXU matmul, and the final division —
+    one streaming pass, no [E,*] intermediates in HBM."""
+
+    def kernel(cb_ref, hs_ref, ht_ref, d_ref, m_ref, as_ref, ad_ref, out_ref, acc, den):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+        n_chunks = pl.num_programs(1)
+
+        @pl.when(c == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            den[:] = jnp.zeros_like(den)
+
+        @pl.when(cb_ref[t] + c < n_eblocks)
+        def _():
+            hs = hs_ref[:].astype(jnp.float32)  # [EB, D]
+            gs = jnp.sum(hs * as_ref[0][None, :], axis=1)  # [EB]
+            gd_tile = jnp.sum(ht_ref[:].astype(jnp.float32) * ad_ref[0][None, :], axis=1)  # [NB]
+
+            dst = d_ref[:].reshape(1, eb)  # [1, EB] global dst ids
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0) + t * nb
+            onehot = rows == dst  # [NB, EB]
+
+            gd = jnp.sum(jnp.where(onehot, gd_tile[:, None], 0.0), axis=0)  # [EB]
+            e = gs + gd
+            e = jnp.where(e > 0, e, 0.2 * e)
+            e = jnp.clip(e, -10.0, 10.0)
+            num = jnp.exp(e)  # [EB]
+            num_masked = num * m_ref[:].reshape(eb)  # dropout mask (1/keep-scaled or ones)
+
+            den[0, :] += jnp.sum(jnp.where(onehot, num[None, :], 0.0), axis=1)  # [NB]
+            w = jnp.where(onehot, num_masked[None, :], 0.0)  # [NB, EB]
+            acc[:] += jnp.dot(w, hs_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[:] = acc[:] / (den[0, :][:, None] + 1e-9)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "c_max"))
+def _fused_layer(
+    hs: jax.Array,  # [E_pad, D] bf16 gathered source rows
+    h_tiles: jax.Array,  # [n_tiles*NB, D] node features padded to tile multiple
+    dst: jax.Array,  # [E_pad] int32
+    mask: jax.Array,  # [E_pad] f32 dropout mask (ones when eval)
+    a_src: jax.Array,  # [1, D]
+    a_dst: jax.Array,  # [1, D]
+    chunk_base: jax.Array,  # [n_tiles] int32
+    nb: int,
+    eb: int,
+    n_tiles: int,
+    c_max: int,
+) -> jax.Array:
+    e_pad, d = hs.shape
+    n_eblocks = e_pad // eb
+    d2 = dst.reshape(e_pad // 128, 128)
+    m2 = mask.reshape(e_pad // 128, 128)
+    sub = eb // 128
+
+    def emap(t, c, cb):
+        return (jnp.minimum(cb[t] + c, n_eblocks - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, c_max),
+        in_specs=[
+            pl.BlockSpec((eb, d), emap),  # hs
+            pl.BlockSpec((nb, d), lambda t, c, cb: (t, 0)),  # h_tiles
+            pl.BlockSpec((sub, 128), emap),  # dst
+            pl.BlockSpec((sub, 128), emap),  # mask
+            pl.BlockSpec((1, d), lambda t, c, cb: (0, 0)),  # a_src
+            pl.BlockSpec((1, d), lambda t, c, cb: (0, 0)),  # a_dst
+        ],
+        out_specs=pl.BlockSpec((nb, d), lambda t, c, cb: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nb, d), jnp.float32),
+            pltpu.VMEM((8, nb), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        _fused_layer_kernel(nb, eb, d, n_eblocks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, d), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * c_max * nb * eb * d,
+            bytes_accessed=e_pad * d * 2 + n_tiles * nb * d * 4,
+            transcendentals=n_tiles * c_max * eb,
+        ),
+    )(chunk_base, hs, h_tiles, d2, m2, a_src, a_dst)
+
+
 def segment_softmax_attention_pallas(
     h: jax.Array,  # [N, H, D]
     a_src: jax.Array,  # [H, D]
@@ -130,11 +236,66 @@ def segment_softmax_attention_pallas(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Same contract as ops.segment.segment_softmax_attention (impl='xla');
-    forward aggregation runs through the fused Pallas kernel. Gradients flow
-    via a custom VJP whose backward recomputes through the XLA reference
-    (correct; Pallas backward lands later)."""
+    forward aggregation runs through the fused Pallas kernels. heads == 1 uses
+    the fully fused single-gather v2 layer; heads > 1 uses the weighted
+    one-hot reduction (v1). Gradients flow via a custom VJP whose backward
+    recomputes through the XLA reference (correct; Pallas backward later)."""
     if graph.chunk_base is None:
         raise ValueError("graph needs tiling metadata: call graph.with_tiling() before to_device()")
+    n, heads, d = h.shape
+
+    if heads == 1 and d % 128 == 0:
+        return _attention_v2(h, a_src, a_dst, graph, dropout_rate, rng)
+    return _attention_v1(h, a_src, a_dst, graph, dropout_rate, rng)
+
+
+def _attention_v2(h, a_src, a_dst, graph: Graph, dropout_rate: float, rng):
+    n, heads, d = h.shape
+    nb, eb = graph.tile_nb, graph.tile_eb
+    n_tiles = int(graph.chunk_base.shape[0])
+    e_pad = graph.n_padded
+
+    def fwd(h, a_src, a_dst, rng):
+        h2 = h[:, 0, :]  # [N, D]
+        hp = jnp.concatenate([h2, jnp.zeros((1, d), h2.dtype)], axis=0)  # sentinel row
+        hs = hp[graph.src].astype(jnp.bfloat16)  # the single [E, D] gather, bf16
+        pad_rows = n_tiles * nb - (n + 1)
+        h_tiles = jnp.concatenate([hp, jnp.zeros((pad_rows, d), hp.dtype)], axis=0)
+        if dropout_rate > 0.0 and rng is not None:
+            # identical mask stream to the XLA reference path ([E, H] bernoulli)
+            keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, (e_pad, heads))
+            mask = jnp.where(keep[:, 0], 1.0 / (1.0 - dropout_rate), 0.0)
+        else:
+            mask = jnp.ones((e_pad,), jnp.float32)
+        out = _fused_layer(
+            hs, h_tiles, graph.dst, mask, a_src.reshape(1, d), a_dst.reshape(1, d),
+            graph.chunk_base, nb, eb, n_tiles, graph.c_max,
+        )
+        return out[:n][:, None, :]
+
+    @jax.custom_vjp
+    def attn(h, a_src, a_dst, rng):
+        return fwd(h, a_src, a_dst, rng)
+
+    def attn_fwd(h, a_src, a_dst, rng):
+        return fwd(h, a_src, a_dst, rng), (h, a_src, a_dst, rng)
+
+    def attn_bwd(res, g):
+        h, a_src, a_dst, rng = res
+        _, vjp = jax.vjp(
+            lambda h_, as_, ad_: _seg.segment_softmax_attention(
+                h_, as_, ad_, graph, dropout_rate=dropout_rate, rng=rng, impl="xla"
+            ),
+            h, a_src, a_dst,
+        )
+        dh, das, dad = vjp(g)
+        return dh, das, dad, None
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn(h, a_src, a_dst, rng)
+
+
+def _attention_v1(h, a_src, a_dst, graph: Graph, dropout_rate: float, rng):
     n, heads, d = h.shape
 
     def fwd_pallas(h, a_src, a_dst, rng):

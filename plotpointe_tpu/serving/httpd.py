@@ -73,12 +73,39 @@ class _Handler(BaseHTTPRequestHandler):
             if not item_ids:
                 self._send(400, {"detail": "item_ids required"})
                 return
+            import time as _time
+
+            t0 = _time.perf_counter()
             try:
                 idx, scores = rt.top_k_for_user_items([int(x) for x in item_ids], k=payload.get("k"))
             except (IndexError, ValueError) as e:
                 self._send(400, {"detail": f"bad item_ids: {e}"})
                 return
-            self._send(200, {"indices": idx.tolist(), "scores": [float(x) for x in scores.tolist()]})
+            latency_ms = (_time.perf_counter() - t0) * 1000.0
+            body = {"indices": idx.tolist(), "scores": [float(x) for x in scores.tolist()]}
+            telemetry = getattr(self.server, "telemetry", None)
+            if telemetry is not None:
+                body["request_id"] = telemetry.log_request(
+                    body["indices"], body["scores"], latency_ms, user_key=payload.get("user_key")
+                )
+            self._send(200, body)
+        elif self.path == "/feedback":
+            telemetry = getattr(self.server, "telemetry", None)
+            if telemetry is None:
+                self._send(503, {"detail": "telemetry not enabled"})
+                return
+            try:
+                telemetry.log_feedback(
+                    request_id=payload["request_id"],
+                    item_id=int(payload["item_id"]),
+                    event_type=str(payload.get("event_type", "click")),
+                    value=float(payload.get("value", 1.0)),
+                    user_key=payload.get("user_key"),
+                )
+            except KeyError as e:
+                self._send(400, {"detail": f"missing field: {e}"})
+                return
+            self._send(200, {"status": "ok"})
         else:
             self._send(404, {"detail": "not found"})
 
@@ -87,11 +114,13 @@ def serve(
     host: str = "0.0.0.0",
     port: int = 8080,
     runtime: Optional[RecommenderRuntime] = None,
+    telemetry=None,
     block: bool = True,
 ):
     """Start the server. Returns (server, thread) when block=False."""
     httpd = ThreadingHTTPServer((host, port), _Handler)
     httpd.runtime = runtime  # type: ignore[attr-defined]
+    httpd.telemetry = telemetry  # type: ignore[attr-defined]
     if block:
         httpd.serve_forever()
         return httpd, None

@@ -37,6 +37,21 @@ def load_config(path: str | Path) -> Dict[str, Any]:
         return json.loads(str(z[_CONFIG_KEY]))
 
 
+def save_resume_state(path: str | Path, params: Any, opt_state: Any, best_params: Any, meta: Dict[str, Any]) -> str:
+    """Full mid-training state (params + optimizer moments + best params +
+    epoch/metric meta) — enables preemption-safe resume, which the reference
+    lacks entirely (SURVEY.md section 5: 'a preempted training job restarts
+    from scratch')."""
+    bundle = {"params": params, "opt_state": opt_state, "best_params": best_params}
+    return save_checkpoint(path, bundle, {"resume_meta": meta})
+
+
+def load_resume_state(path: str | Path, params_template: Any, opt_template: Any) -> Tuple[Any, Any, Any, Dict[str, Any]]:
+    bundle_template = {"params": params_template, "opt_state": opt_template, "best_params": params_template}
+    bundle, config = load_checkpoint(path, bundle_template)
+    return bundle["params"], bundle["opt_state"], bundle["best_params"], config["resume_meta"]
+
+
 def load_checkpoint(path: str | Path, params_template: Any) -> Tuple[Any, Dict[str, Any]]:
     """Restore params into the structure of `params_template` (e.g. from
     model.init on the embedded config) and return (params, config)."""

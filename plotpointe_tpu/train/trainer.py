@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 import time
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -146,7 +147,12 @@ class Trainer:
 
     # -- fit -----------------------------------------------------------------
 
-    def fit(self, key: Optional[jax.Array] = None, checkpoint_path: Optional[str] = None) -> Dict[str, Any]:
+    def fit(
+        self,
+        key: Optional[jax.Array] = None,
+        checkpoint_path: Optional[str] = None,
+        resume_path: Optional[str] = None,
+    ) -> Dict[str, Any]:
         cfg = self.cfg
         key = key if key is not None else jax.random.key(cfg.seed)
         k_init, k_train, k_eval = jax.random.split(key, 3)
@@ -154,15 +160,28 @@ class Trainer:
         params = self.model.init(k_init)
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, best_params=params)
+        start_epoch = 1
+
+        if resume_path is not None and Path(resume_path).exists():
+            from plotpointe_tpu.train.checkpoint import load_resume_state
+
+            params_t, opt_t = state.params, state.opt_state
+            state.params, state.opt_state, state.best_params, meta = load_resume_state(
+                resume_path, params_t, opt_t
+            )
+            start_epoch = int(meta["epoch"]) + 1
+            state.best_val_ndcg20 = float(meta["best_val_ndcg20"])
+            state.epoch = int(meta["epoch"])
 
         run_id = cfg.run_id or f"{cfg.model_family}_d{cfg.hidden_dim}_{int(time.time())}"
         if cfg.structured_logs:
-            log_event("run_start", run_id=run_id, model_family=cfg.model_family, config=cfg.to_dict())
+            log_event("run_start", run_id=run_id, model_family=cfg.model_family, config=cfg.to_dict(),
+                      resumed_from_epoch=start_epoch - 1 if start_epoch > 1 else None)
 
         history = []
         val_metrics: Dict[str, float] = {}
         t_start = time.perf_counter()
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             k_epoch = jax.random.fold_in(k_train, epoch)
             state.params, state.opt_state, loss = self._train_step(state.params, state.opt_state, k_epoch)

@@ -1,0 +1,41 @@
+"""Golden tests: Pallas MIPS top-K vs XLA reference and numpy brute force."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas, topk_mips_xla
+
+
+@pytest.mark.parametrize("n,b,k", [(1000, 4, 10), (5000, 1, 20), (2048, 8, 5)])
+def test_topk_pallas_matches_brute(rng, n, b, k):
+    items = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(b, 64)).astype(np.float32)
+
+    gi, gv = topk_mips_pallas(jnp.asarray(items), jnp.asarray(q), k, block_items=512)
+    scores = q @ items.T
+    want_i = np.argsort(-scores, axis=1)[:, :k]
+    want_v = np.take_along_axis(scores, want_i, axis=1)
+
+    np.testing.assert_allclose(np.asarray(gv), want_v, rtol=1e-4, atol=1e-5)
+    # indices may differ on exact ties; scores must match and be descending
+    assert (np.diff(np.asarray(gv), axis=1) <= 1e-6).all()
+    got_scores = np.take_along_axis(scores, np.asarray(gi), axis=1)
+    np.testing.assert_allclose(got_scores, want_v, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_xla_matches_brute(rng):
+    items = rng.normal(size=(3000, 32)).astype(np.float32)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    gi, gv = topk_mips_xla(jnp.asarray(items), jnp.asarray(q), 15)
+    scores = q @ items.T
+    want_v = np.sort(scores, axis=1)[:, ::-1][:, :15]
+    np.testing.assert_allclose(np.asarray(gv), want_v, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_padding_not_selected(rng):
+    # n not a multiple of the block: padded rows must never be returned
+    items = rng.normal(size=(700, 16)).astype(np.float32)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    gi, gv = topk_mips_pallas(jnp.asarray(items), jnp.asarray(q), 10, block_items=512)
+    assert (np.asarray(gi) < 700).all()

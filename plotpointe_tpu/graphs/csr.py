@@ -45,6 +45,7 @@ class Graph:
     c_max: int = dataclasses.field(default=0, metadata=dict(static=True))
     tile_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
     tile_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
+    layout: "AttentionLayout | None" = dataclasses.field(default=None)
 
     @property
     def n_padded(self) -> int:
@@ -58,7 +59,41 @@ class Graph:
             weight=jnp.asarray(self.weight),
             row_ptr=jnp.asarray(self.row_ptr),
             chunk_base=None if self.chunk_base is None else jnp.asarray(self.chunk_base),
+            layout=None if self.layout is None else self.layout.to_device(),
         )
+
+    def with_layout(self, nb: int = 256, eb: int = 1024) -> "Graph":
+        """Attach the tile-aligned AttentionLayout (forward + transpose)."""
+        real_src = np.asarray(self.src)[: self.n_edges].astype(np.int64)
+        real_dst = np.asarray(self.dst)[: self.n_edges].astype(np.int64)
+        n = self.n_nodes
+
+        dst_al, src_al, pos_f, tile_of, is_last = _aligned_edge_layout(real_dst, real_src, n, nb, eb)
+        t_src_key, _t_other, pos_t, t_tile_of, t_is_last = _aligned_edge_layout(real_src, real_dst, n, nb, eb)
+
+        e_al = len(dst_al)
+        fwd_pos_of_orig = np.empty(self.n_edges, dtype=np.int64)
+        m = pos_f >= 0
+        fwd_pos_of_orig[pos_f[m]] = np.flatnonzero(m)
+        t_perm = np.full(len(t_src_key), e_al, dtype=np.int32)  # pad -> zero row at E_al
+        mt = pos_t >= 0
+        t_perm[mt] = fwd_pos_of_orig[pos_t[mt]].astype(np.int32)
+
+        n_tiles = (n + 1 + nb - 1) // nb
+        layout = AttentionLayout(
+            src=src_al,
+            dst=dst_al,
+            tile_of=tile_of,
+            is_last=is_last,
+            t_dst=t_src_key,  # transpose's destination = original source
+            t_perm=t_perm,
+            t_tile_of=t_tile_of,
+            t_is_last=t_is_last,
+            nb=int(nb),
+            eb=int(eb),
+            n_tiles=int(n_tiles),
+        )
+        return dataclasses.replace(self, layout=layout)
 
     def with_tiling(self, nb: int = 256, eb: int = 1024) -> "Graph":
         """Attach Pallas attention tiling metadata (host-side, numpy row_ptr)."""
@@ -87,6 +122,90 @@ class Graph:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AttentionLayout:
+    """Tile-aligned edge layout for the fused attention kernels.
+
+    Edges are laid out so each destination-node tile's edge range starts on an
+    edge-chunk boundary (per-tile sentinel padding) — every chunk belongs to
+    exactly ONE tile, so the kernel grid is a flat list of chunks with no
+    skew waste, no shared-chunk re-reads, and exact per-chunk outputs (needed
+    by the backward, which writes d(hs) chunk blocks). A mirrored layout over
+    the TRANSPOSE graph (sorted by source) drives the backward's scatter of
+    edge gradients into nodes, with `t_perm` mapping transpose-aligned edge
+    positions to forward-aligned positions.
+    """
+
+    # forward (dst-sorted, tile-aligned)
+    src: jax.Array  # int32 [E_al]
+    dst: jax.Array  # int32 [E_al]
+    tile_of: jax.Array  # int32 [C] tile index per chunk
+    is_last: jax.Array  # int32 [C] 1 if last chunk of its tile
+    # transpose (src-sorted, tile-aligned) for the backward scatter
+    t_dst: jax.Array  # int32 [E_al_t] (= original src, sorted)
+    t_perm: jax.Array  # int32 [E_al_t] -> forward-aligned position (pad -> E_al, a zero row)
+    t_tile_of: jax.Array  # int32 [C_t]
+    t_is_last: jax.Array  # int32 [C_t]
+    nb: int = dataclasses.field(metadata=dict(static=True))
+    eb: int = dataclasses.field(metadata=dict(static=True))
+    n_tiles: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.tile_of.shape[0])
+
+    @property
+    def n_chunks_t(self) -> int:
+        return int(self.t_tile_of.shape[0])
+
+    @property
+    def e_aligned(self) -> int:
+        return int(self.src.shape[0])
+
+    def to_device(self) -> "AttentionLayout":
+        return dataclasses.replace(
+            self,
+            **{
+                f: jnp.asarray(getattr(self, f))
+                for f in ("src", "dst", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last")
+            },
+        )
+
+
+def _aligned_edge_layout(sort_key: np.ndarray, other: np.ndarray, n_nodes: int, nb: int, eb: int):
+    """Core aligned-layout builder. sort_key drives the tiling (dst for the
+    forward layout, src for the transpose). Returns (key_al, other_al,
+    pos_al [E_al] original-edge-position or -1 for padding, tile_of, is_last)."""
+    order = np.lexsort((other, sort_key))
+    sk, ot = sort_key[order], other[order]
+    n_tiles = (n_nodes + 1 + nb - 1) // nb
+
+    counts = np.bincount(np.minimum(sk // nb, n_tiles - 1), minlength=n_tiles)
+    chunks_per_tile = np.maximum((counts + eb - 1) // eb, 1)
+    starts_al = np.zeros(n_tiles + 1, dtype=np.int64)
+    np.cumsum(chunks_per_tile * eb, out=starts_al[1:])
+    e_al = int(starts_al[-1])
+
+    key_al = np.full(e_al, n_nodes, dtype=np.int32)
+    other_al = np.full(e_al, n_nodes, dtype=np.int32)
+    pos_al = np.full(e_al, -1, dtype=np.int64)
+    # scatter each tile's sorted edges to its aligned start
+    tile_begin = np.zeros(n_tiles + 1, dtype=np.int64)
+    np.cumsum(counts, out=tile_begin[1:])
+    idx_within = np.arange(len(sk)) - np.repeat(tile_begin[:-1], counts)
+    dest = np.repeat(starts_al[:-1], counts) + idx_within
+    key_al[dest] = sk
+    other_al[dest] = ot
+    pos_al[dest] = order
+
+    tile_of = np.repeat(np.arange(n_tiles, dtype=np.int32), chunks_per_tile)
+    last_chunk = np.cumsum(chunks_per_tile) - 1
+    is_last = np.zeros(len(tile_of), dtype=np.int32)
+    is_last[last_chunk] = 1
+    return key_al, other_al, pos_al, tile_of, is_last
 
 
 def build_graph(

@@ -236,14 +236,20 @@ def segment_softmax_attention_pallas(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Same contract as ops.segment.segment_softmax_attention (impl='xla');
-    forward aggregation runs through the fused Pallas kernels. heads == 1 uses
-    the fully fused single-gather v2 layer; heads > 1 uses the weighted
-    one-hot reduction (v1). Gradients flow via a custom VJP whose backward
-    recomputes through the XLA reference (correct; Pallas backward later)."""
-    if graph.chunk_base is None:
-        raise ValueError("graph needs tiling metadata: call graph.with_tiling() before to_device()")
+    forward aggregation runs through the fused Pallas kernels. Dispatch:
+    heads == 1 with an aligned layout -> v3 (fully fused fwd+bwd,
+    ops/gat_fused.py); heads == 1 with only v1/v2 tiling -> v2 (fused fwd,
+    XLA bwd); otherwise -> v1 (fused reduction only)."""
     n, heads, d = h.shape
 
+    if heads == 1 and d % 128 == 0 and graph.layout is not None:
+        from plotpointe_tpu.ops.gat_fused import attention_v3
+
+        return attention_v3(h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng)
+    if graph.chunk_base is None:
+        raise ValueError(
+            "graph needs tiling metadata: call graph.with_layout() (or with_tiling()) before to_device()"
+        )
     if heads == 1 and d % 128 == 0:
         return _attention_v2(h, a_src, a_dst, graph, dropout_rate, rng)
     return _attention_v1(h, a_src, a_dst, graph, dropout_rate, rng)

@@ -68,8 +68,8 @@ class Trainer:
     ):
         self.model = model
         self.cfg = cfg
-        if getattr(model, "attn_impl", "xla") == "pallas" and graph.chunk_base is None:
-            graph = graph.with_tiling()
+        if getattr(model, "attn_impl", "xla") == "pallas" and graph.layout is None:
+            graph = graph.with_layout()
         self.graph = graph.to_device()
         self.splits = splits
         self.n_users, self.n_items = splits.n_users, splits.n_items

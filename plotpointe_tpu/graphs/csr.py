@@ -80,9 +80,11 @@ class Graph:
         t_perm[mt] = fwd_pos_of_orig[pos_t[mt]].astype(np.int32)
 
         n_tiles = (n + 1 + nb - 1) // nb
+        pos_canon = np.where(pos_f >= 0, pos_f, self.n_edges).astype(np.int32)
         layout = AttentionLayout(
             src=src_al,
             dst=dst_al,
+            pos=pos_canon,
             tile_of=tile_of,
             is_last=is_last,
             t_dst=t_src_key,  # transpose's destination = original source
@@ -142,6 +144,7 @@ class AttentionLayout:
     # forward (dst-sorted, tile-aligned)
     src: jax.Array  # int32 [E_al]
     dst: jax.Array  # int32 [E_al]
+    pos: jax.Array  # int32 [E_al] canonical edge index (pad -> n_edges)
     tile_of: jax.Array  # int32 [C] tile index per chunk
     is_last: jax.Array  # int32 [C] 1 if last chunk of its tile
     # transpose (src-sorted, tile-aligned) for the backward scatter
@@ -170,7 +173,7 @@ class AttentionLayout:
             self,
             **{
                 f: jnp.asarray(getattr(self, f))
-                for f in ("src", "dst", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last")
+                for f in ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last")
             },
         )
 

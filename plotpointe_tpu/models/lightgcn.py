@@ -38,6 +38,13 @@ class LightGCNModel:
             "item_emb": 0.1 * jax.random.normal(ki, (self.n_items, self.embed_dim), self.param_dtype),
         }
 
+    def _spmm(self, graph: Graph, values: jax.Array, x: jax.Array) -> jax.Array:
+        if self.spmm_impl == "pallas" and graph.layout is not None and x.shape[1] % 128 == 0:
+            from plotpointe_tpu.ops.spmm_kernel import spmm_pallas
+
+            return spmm_pallas(graph, values, x)
+        return spmm(graph, values, x)
+
     def propagate(
         self, params: Dict[str, Any], graph: Graph, norm_values: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
@@ -46,7 +53,7 @@ class LightGCNModel:
         acc = x
         out = x
         for _ in range(self.n_prop_layers):
-            out = spmm(graph, norm_values, out)
+            out = self._spmm(graph, norm_values, out)
             acc = acc + out
         acc = acc / (self.n_prop_layers + 1)
         return acc[: self.n_users], acc[self.n_users :]

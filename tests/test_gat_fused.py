@@ -106,3 +106,22 @@ def test_dispatch_prefers_v3(rng):
     out = segment_softmax_attention(h, a_s, a_d, g, impl="pallas")
     want = np.asarray(attention_v3(h, a_s, a_d, g))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_pallas_matches_xla(rng):
+    from plotpointe_tpu.ops.segment import spmm
+    from plotpointe_tpu.ops.spmm_kernel import spmm_pallas
+
+    g = _graph(rng, n_nodes=180, n_edges=1400)
+    vals = jnp.asarray(rng.random(g.n_padded).astype(np.float32) * jnp.where(jnp.arange(g.n_padded) < g.n_edges, 1.0, 0.0))
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 128)).astype(np.float32))
+    want = spmm(g, vals, x)
+    got = spmm_pallas(g, vals, x, xs_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    # gradients through the linear op
+    ct = jnp.asarray(rng.normal(size=(g.n_nodes, 128)).astype(np.float32))
+    gx = jax.grad(lambda v, xx: (spmm(g, v, xx) * ct).sum(), argnums=(0, 1))(vals, x)
+    gp = jax.grad(lambda v, xx: (spmm_pallas(g, v, xx, xs_dtype=jnp.float32) * ct).sum(), argnums=(0, 1))(vals, x)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

@@ -103,6 +103,35 @@ def _bench_gat_train(
     return step_time, fwd_time, edges_per_sec, float(loss)
 
 
+def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
+    """Top-K retrieval over the full reference catalog size (serving/runtime.py:67
+    scores 498k items per request on CPU numpy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas, topk_mips_xla
+
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+
+    out = {}
+    for name, fn in (("xla", topk_mips_xla), ("pallas", topk_mips_pallas)):
+        try:
+            i, v = fn(items, q, k)
+            jax.block_until_ready(v)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                i, v = fn(items, q, k)
+            jax.block_until_ready(v)
+            dt = (time.perf_counter() - t0) / 10
+            out[f"serve_topk_{name}_ms"] = round(dt * 1000, 3)
+            out[f"serve_topk_{name}_qps"] = round(batch / dt)
+        except Exception as e:  # noqa: BLE001
+            out[f"serve_topk_{name}_error"] = f"{type(e).__name__}: {e}"[:160]
+    return out
+
+
 def main():
     import jax
 
@@ -118,20 +147,28 @@ def main():
 
     try:
         step_time, fwd_time, eps, loss = _bench_gat_train(attn_impl="xla")
-        result["gat_step_time_s"] = round(step_time, 4)
-        result["gat_fwd_time_s"] = round(fwd_time, 4)
-        result["gat_train_edges_per_sec"] = round(eps)
+        result["gat_xla_step_time_s"] = round(step_time, 4)
+        result["gat_xla_fwd_time_s"] = round(fwd_time, 4)
         result["gat_loss"] = round(loss, 4)
+        best_eps = eps
     except Exception as e:  # noqa: BLE001 - record the failure, keep the headline metric
         result["gat_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        best_eps = 0.0
 
     try:
         p_step, p_fwd, p_eps, p_loss = _bench_gat_train(attn_impl="pallas")
         result["gat_pallas_step_time_s"] = round(p_step, 4)
         result["gat_pallas_fwd_time_s"] = round(p_fwd, 4)
         result["gat_pallas_loss"] = round(p_loss, 4)
+        best_eps = max(best_eps, p_eps)
     except Exception as e:  # noqa: BLE001
         result["gat_pallas_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if best_eps:
+        # full train step (sampling+fwd+bwd+Adam) over 2*|E| directed edges x layers
+        result["gat_train_edges_per_sec"] = round(best_eps)
+
+    result.update(_bench_serving())
 
     result["device"] = device
     print(json.dumps(result))

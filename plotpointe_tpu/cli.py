@@ -255,6 +255,57 @@ def _cmd_pipeline(args):
     print(json.dumps({"pipeline": "complete", "workdir": d}))
 
 
+def _cmd_ablate(args):
+    """Single-variable ablation sweep (reference: scripts/launch_gat_ablations.sh
+    submits 7 concurrent Vertex jobs; here they run sequentially in-process and
+    produce one consolidated report)."""
+    from plotpointe_tpu.config import TrainConfig
+    from plotpointe_tpu.pipeline import train_from_artifacts
+
+    base = dict(
+        model_family="gat", hidden_dim=args.hidden_dim, layers=2, heads=1,
+        epochs=args.epochs, samples_per_epoch=args.samples_per_epoch,
+        eval_neg_k=args.eval_neg_k, item_features=args.item_features,
+        loss="bpr", attn_impl=args.attn_impl,
+    )
+    variants = {
+        "fused_bpr_l2_h1": {},
+        "bce": {"loss": "bce"},
+        "txt": {"item_features": "txt"},
+        "heads2": {"heads": 2},
+        "layers1": {"layers": 1},
+        "layers3": {"layers": 3},
+        "lightgcn": {"model_family": "lightgcn"},
+    }
+    report = {}
+    for name, delta in variants.items():
+        if args.only and name not in args.only.split(","):
+            continue
+        cfg = TrainConfig(**{**base, **delta}, run_id=f"ablate_{name}")
+        try:
+            r = train_from_artifacts(
+                cfg,
+                staging_prefix=args.staging_prefix,
+                embeddings_prefix=args.embeddings_prefix,
+                models_prefix=f"{args.models_prefix}/{name}",
+            )
+            report[name] = {"test": r["test"], "best_val_ndcg@20": r["best_val_ndcg@20"]}
+        except Exception as e:  # noqa: BLE001 - one failed variant must not kill the sweep
+            report[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps({name: report[name]}), flush=True)
+    from plotpointe_tpu.utils.artifacts import ArtifactStore
+
+    ArtifactStore().save_json(report, f"{args.models_prefix}/ablations_report.json")
+    print(json.dumps(report, indent=2))
+
+
+def _cmd_drift(args):
+    from plotpointe_tpu.serving.telemetry import ServingTelemetry
+
+    tel = ServingTelemetry(root=args.telemetry_dir)
+    print(json.dumps(tel.aggregate_drift(), indent=2))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="plotpointe_tpu", description="TPU-native graph recommender pipeline")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -371,6 +422,23 @@ def main(argv=None):
     p.add_argument("--registry", default="manifests/registry.json")
     p.add_argument("--manifest-id", default=None)
     p.set_defaults(fn=_cmd_validate_manifests)
+
+    p = sub.add_parser("ablate", help="single-variable ablation sweep + report")
+    p.add_argument("--staging-prefix", required=True)
+    p.add_argument("--embeddings-prefix", required=True)
+    p.add_argument("--models-prefix", required=True)
+    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--samples-per-epoch", type=int, default=100_000)
+    p.add_argument("--eval-neg-k", type=int, default=500)
+    p.add_argument("--item-features", default="fused")
+    p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--only", default=None, help="comma-separated variant names")
+    p.set_defaults(fn=_cmd_ablate)
+
+    p = sub.add_parser("drift", help="aggregate serving telemetry into drift stats")
+    p.add_argument("--telemetry-dir", required=True)
+    p.set_defaults(fn=_cmd_drift)
 
     p = sub.add_parser("pipeline", help="run the full synth->train pipeline in one command")
     p.add_argument("--workdir", required=True)

@@ -120,7 +120,13 @@ def train_fusion(
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, tb, ib, rng):
+    def step(params, opt_state, perm, s, rng):
+        # batch slicing happens INSIDE jit with a traced start index — a
+        # python-int start would bake into the program and retrace per step
+        # (catastrophic under remote compilation)
+        idx = jax.lax.dynamic_slice_in_dim(perm, s * bs, bs)
+        tb, ib = txt_j[idx], img_j[idx]
+
         def loss_fn(p):
             fused = model.apply(p, tb, ib, train=True, rng=rng)
             tproj = tb @ p["txt_proj"]["w"] + p["txt_proj"]["b"]
@@ -139,9 +145,8 @@ def train_fusion(
         perm = jax.random.permutation(jax.random.fold_in(k_epoch, 0), n)
         tot = 0.0
         for s in range(steps_per_epoch):
-            idx = jax.lax.dynamic_slice_in_dim(perm, s * bs, bs)
             rng = jax.random.fold_in(k_epoch, s + 1)
-            params, opt_state, loss, lt, li = step(params, opt_state, txt_j[idx], img_j[idx], rng)
+            params, opt_state, loss, lt, li = step(params, opt_state, perm, jnp.int32(s), rng)
             tot += float(loss)
         history[f"epoch_{epoch + 1}_loss"] = tot / steps_per_epoch
     return params, history

@@ -28,6 +28,7 @@ class ServingConfig:
     topk: int = 20
     project_id: Optional[str] = None
     use_device: bool = True  # False -> pure numpy (tiny deployments, no JAX device)
+    use_pallas_topk: bool = False  # fused streaming top-k for very large catalogs
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -80,6 +81,19 @@ class RecommenderRuntime:
         mask = np.zeros(hmax, dtype=np.float32)
         hist[: len(ids)] = ids
         mask[: len(ids)] = 1.0
+
+        if self.cfg.use_pallas_topk:
+            from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas
+
+            hvecs = self.item_vecs[ids]
+            q = jnp.asarray((hvecs.mean(axis=0))[None, :])
+            # retrieve K + |history| then drop history (kernel is history-agnostic)
+            kk = min(K + len(ids), self.item_vecs.shape[0])
+            idx, scores = topk_mips_pallas(self._item_vecs_dev, q, kk)
+            idx, scores = np.asarray(idx[0]), np.asarray(scores[0])
+            keep = ~np.isin(idx, ids)
+            return idx[keep][:K], scores[keep][:K]
+
         idx, scores = _topk_scores(self._item_vecs_dev, jnp.asarray(hist), jnp.asarray(mask), K)
         return np.asarray(idx), np.asarray(scores)
 

@@ -77,3 +77,18 @@ def test_stdlib_http_surface(tmp_path):
         assert code == 400
     finally:
         httpd.shutdown()
+
+
+def test_pallas_topk_runtime_path(tmp_path, rng):
+    emb = rng.normal(size=(700, 16)).astype(np.float32)
+    path = tmp_path / "emb.npy"
+    np.save(path, emb)
+    rt_ref = RecommenderRuntime(ServingConfig(item_embeddings_uri=str(path), use_device=False))
+    rt_ref.startup()
+    rt_pk = RecommenderRuntime(ServingConfig(item_embeddings_uri=str(path), use_pallas_topk=True))
+    rt_pk.startup()
+    for hist in ([5], [3, 9, 200]):
+        i1, s1 = rt_ref.top_k_for_user_items(hist, k=10)
+        i2, s2 = rt_pk.top_k_for_user_items(hist, k=10)
+        np.testing.assert_allclose(np.sort(s1), np.sort(s2), rtol=1e-4, atol=1e-5)
+        assert not np.isin(np.asarray(i2), hist).any()

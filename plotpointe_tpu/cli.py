@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from pathlib import Path
 
 import numpy as np
 
@@ -20,8 +19,10 @@ def _cmd_synth(args):
     from plotpointe_tpu.utils.artifacts import ArtifactStore
 
     store = ArtifactStore()
-    df = synthetic_interactions(args.users, args.items, args.interactions, seed=args.seed)
-    items = synthetic_catalog(df, n_extra_items=args.extra_items, seed=args.seed)
+    df, (_, i_fac) = synthetic_interactions(
+        args.users, args.items, args.interactions, seed=args.seed, return_factors=True
+    )
+    items = synthetic_catalog(df, n_extra_items=args.extra_items, seed=args.seed, item_factors=i_fac)
     store.save_parquet(df, f"{args.out}/interactions.parquet")
     store.save_parquet(items, f"{args.out}/items.parquet")
     print(json.dumps({"n_interactions": len(df), "n_items": len(items), "out": args.out}))
@@ -307,6 +308,14 @@ def _cmd_drift(args):
 
 
 def main(argv=None):
+    # persistent compilation cache: first-compile of the fused train step is
+    # ~200s through the remote-compile tunnel; cache makes repeat CLI
+    # invocations (pipeline stages are separate processes) skip it
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/plotpointe_jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
     ap = argparse.ArgumentParser(prog="plotpointe_tpu", description="TPU-native graph recommender pipeline")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -18,8 +18,6 @@ import json
 from pathlib import Path
 from typing import Iterator, Optional, Tuple
 
-import numpy as np
-
 TS_LO = 800_000_000  # ~1995, reference uses similar sanity bounds
 TS_HI = 2_000_000_000  # ~2033
 

@@ -10,7 +10,7 @@ and make quality tests meaningless).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -80,23 +80,49 @@ def synthetic_interactions(
     return df
 
 
-def synthetic_catalog(interactions, n_extra_items: int = 0, seed: int = 0):
+def synthetic_catalog(interactions, n_extra_items: int = 0, seed: int = 0, item_factors: Optional[np.ndarray] = None):
     """Items table (asin, title, brand, price, categories, image_url) covering all
     interacted asins plus `n_extra_items` cold items (the reference catalog has
-    498k items of which only 63k are interacted)."""
+    498k items of which only 63k are interacted).
+
+    If `item_factors` (from synthetic_interactions(return_factors=True)) is
+    given, titles/brands/categories encode each item's dominant latent factors
+    — so text-derived features genuinely correlate with user affinity, the
+    way real titles do, and quality-anchor runs measure learning rather than
+    noise. Asins encode the factor row as B{idx:09d}.
+    """
     import pandas as pd
 
     rng = np.random.default_rng(seed + 1)
     asins = list(pd.unique(interactions["asin"]))
     asins += [f"B9{i:08d}" for i in range(n_extra_items)]
     n = len(asins)
-    brands = [f"Brand{rng.integers(0, 50)}" for _ in range(n)]
-    cats = [["Electronics", f"Sub{rng.integers(0, 20)}"] for _ in range(n)]
     has_img = rng.random(n) < 0.3  # reference: ~30% of items have usable images
+
+    titles, brands, cats = [], [], []
+    for a in asins:
+        fac_row = None
+        if item_factors is not None and a.startswith("B") and not a.startswith("B9"):
+            idx = int(a[1:])
+            if idx < len(item_factors):
+                fac_row = item_factors[idx]
+        if fac_row is not None:
+            order = np.argsort(-np.abs(fac_row))
+            c1, c2 = int(order[0]), int(order[1])
+            s1 = "pos" if fac_row[c1] > 0 else "neg"
+            s2 = "pos" if fac_row[c2] > 0 else "neg"
+            titles.append(f"{s1}axis{c1} {s2}axis{c2} device model {a[-4:]}")
+            brands.append(f"Brand{c1}{s1}")
+            cats.append(["Electronics", f"Cat{c1}{s1}", f"Sub{c2}{s2}"])
+        else:
+            titles.append(f"Synthetic item {a}")
+            brands.append(f"Brand{rng.integers(0, 50)}")
+            cats.append(["Electronics", f"Sub{rng.integers(0, 20)}"])
+
     return pd.DataFrame(
         {
             "asin": asins,
-            "title": [f"Synthetic item {a}" for a in asins],
+            "title": titles,
             "brand": brands,
             "price": np.round(rng.gamma(2.0, 30.0, size=n), 2),
             "categories": cats,

@@ -9,7 +9,7 @@ printing PASS/FAIL.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from plotpointe_tpu.data.stage import TS_HI, TS_LO
 

@@ -24,7 +24,7 @@ TPU-shaped compute. Math parity: LeakyReLU(0.2), logit clamp +-10, eps 1e-9.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

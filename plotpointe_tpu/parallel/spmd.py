@@ -19,7 +19,7 @@ point at the sentinel node, so equal-size per-device chunks need no masking.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable
 
 import numpy as np
 

@@ -86,6 +86,8 @@ def train_from_artifacts(
         "test": results["test"],
         "config": results["config"],
         "notes": results["notes"],
+        "history": results["history"],
+        "wall_time_s": results["wall_time_s"],
     }
     store.save_json(metrics, f"{models_prefix}/metrics_{run_id}.json")
     results["checkpoint_uri"] = ckpt_uri

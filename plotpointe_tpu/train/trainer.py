@@ -18,7 +18,7 @@ import functools
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -188,12 +188,15 @@ class Trainer:
             loss = float(loss)
             step_time = time.perf_counter() - t0
 
+            t1 = time.perf_counter()
             val_metrics = (
                 self.evaluate(state.params, self.splits.val_u, self.splits.val_i, jax.random.fold_in(k_eval, epoch))
                 if len(self.splits.val_u)
                 else {}
             )
-            history.append({"epoch": epoch, "loss": loss, "step_time_s": step_time, **{f"val_{k}": v for k, v in val_metrics.items()}})
+            eval_time = time.perf_counter() - t1
+            history.append({"epoch": epoch, "loss": loss, "step_time_s": step_time, "eval_time_s": eval_time,
+                            **{f"val_{k}": v for k, v in val_metrics.items()}})
             if cfg.structured_logs:
                 log_event("epoch_end", run_id=run_id, epoch=epoch, loss=loss, val=val_metrics)
 

@@ -11,7 +11,6 @@ local-filesystem first (gs:// gated behind optional google-cloud-storage).
 from __future__ import annotations
 
 import json
-import os
 import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional

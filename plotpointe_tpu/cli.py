@@ -308,14 +308,9 @@ def _cmd_drift(args):
 
 
 def main(argv=None):
-    # persistent compilation cache: first-compile of the fused train step is
-    # ~200s through the remote-compile tunnel; cache makes repeat CLI
-    # invocations (pipeline stages are separate processes) skip it
-    import os
-
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/plotpointe_jax"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
-
+    # NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the experimental
+    # remote-compile TPU backend hangs when the persistent cache is active
+    # (observed: train step never finished compiling with the cache enabled).
     ap = argparse.ArgumentParser(prog="plotpointe_tpu", description="TPU-native graph recommender pipeline")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

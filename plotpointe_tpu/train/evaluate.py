@@ -41,7 +41,12 @@ def _eval_chunk(
     n_items = I.shape[0]
     negs = sample_eval_negatives(key, users, pos, user_pos_padded, user_deg, n_items, neg_k)  # [C, neg_k]
 
-    scores_all = jnp.dot(U[users], I.T, preferred_element_type=jnp.float32)  # [C, n_items]
+    # HIGH (bf16x3) matmul precision: rank-of-positive comparisons are
+    # value-sensitive; plain-bf16 MXU rounding could flip near-ties vs the
+    # reference's f32 scoring
+    scores_all = jnp.dot(
+        U[users], I.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    )  # [C, n_items]
     pos_score = jnp.take_along_axis(scores_all, pos[:, None], axis=1)  # [C, 1]
     neg_scores = jnp.take_along_axis(scores_all, negs, axis=1)  # [C, neg_k]
 

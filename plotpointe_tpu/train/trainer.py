@@ -122,6 +122,59 @@ class Trainer:
         return params, opt_state, loss
 
     @functools.partial(jax.jit, static_argnames=("self",))
+    def _lightgcn_batch_step(self, params, opt_state, perm, s, key):
+        """One BPR mini-batch step, LightGCN protocol parity
+        (train_lightgcn.py:160-179,313-336): batch of `batch_size` positives
+        drawn from the shuffled train interactions, `neg_per_pos` exact
+        negatives each, propagation recomputed inside the step."""
+        bs = self.cfg.batch_size
+        npp = self.cfg.neg_per_pos
+        idx = jax.lax.dynamic_slice_in_dim(perm, s * bs, bs)
+        u = self._train_u_dev[idx]
+        i = self._train_i_dev[idx]
+
+        # exact negatives: uniform over the complement of each user's positives
+        from plotpointe_tpu.train.sampling import _rank_to_item, _uniform_ranks
+
+        pos_rows = self.user_pos_padded[u]  # [bs, P] sorted
+        deg = self.user_deg[u]
+        r = _uniform_ranks(key, (bs, npp), (self.n_items - deg)[:, None] * jnp.ones((1, npp), jnp.int32))
+        j = _rank_to_item(r, pos_rows)  # [bs, npp]
+
+        def loss_fn(p):
+            z = self.model.apply(p, self.item_feats, self.graph, norm_values=self.norm_values)
+            U, I = z[: self.n_users], z[self.n_users :]
+            pos = jnp.sum(U[u] * I[i], axis=-1)  # [bs]
+            neg = jnp.sum(U[u][:, None, :] * I[j], axis=-1)  # [bs, npp]
+            return LOSSES[self._loss_name](
+                jnp.repeat(pos[:, None], npp, axis=1).reshape(-1), neg.reshape(-1)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def _run_lightgcn_epoch(self, state: "TrainState", key) -> float:
+        if not hasattr(self, "_train_u_dev"):
+            self._train_u_dev = jnp.asarray(self.splits.train_u)
+            self._train_i_dev = jnp.asarray(self.splits.train_i)
+        t = len(self.splits.train_u)
+        bs = self.cfg.batch_size
+        n_steps = max(1, t // bs)
+        perm = jax.random.permutation(key, t)
+        if t < bs:  # tiny datasets: wrap around so the slice is full
+            perm = jnp.concatenate([perm] * ((bs + t - 1) // t))[: bs]
+            n_steps = 1
+        tot = 0.0
+        for s in range(n_steps):
+            state.params, state.opt_state, loss = self._lightgcn_batch_step(
+                state.params, state.opt_state, perm, jnp.int32(s), jax.random.fold_in(key, s)
+            )
+            tot += float(loss)
+        return tot / n_steps
+
+    @functools.partial(jax.jit, static_argnames=("self",))
     def _forward_eval(self, params):
         z = self.model.apply(
             params,
@@ -184,8 +237,12 @@ class Trainer:
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             k_epoch = jax.random.fold_in(k_train, epoch)
-            state.params, state.opt_state, loss = self._train_step(state.params, state.opt_state, k_epoch)
-            loss = float(loss)
+            if self.norm_values is not None:
+                # LightGCN: mini-batch BPR over all positives (reference protocol)
+                loss = self._run_lightgcn_epoch(state, k_epoch)
+            else:
+                state.params, state.opt_state, loss = self._train_step(state.params, state.opt_state, k_epoch)
+                loss = float(loss)
             step_time = time.perf_counter() - t0
 
             t1 = time.perf_counter()

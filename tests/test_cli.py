@@ -1,0 +1,74 @@
+"""CLI wiring tests (in-process, CPU): every subcommand parses and the fast
+ones run end-to-end against tmp artifacts."""
+import json
+
+import numpy as np
+import pytest
+
+from plotpointe_tpu import cli
+
+
+def _run(argv, capsys):
+    cli.main(argv)
+    return capsys.readouterr().out
+
+
+def test_synth_validate_buildui(tmp_path, capsys):
+    out = _run(["synth", "--out", f"{tmp_path}/s", "--users", "50", "--items", "40",
+                "--interactions", "600", "--extra-items", "5"], capsys)
+    assert json.loads(out.strip().splitlines()[-1])["n_interactions"] == 600
+
+    with pytest.raises(SystemExit) as e:
+        _run(["validate", "--prefix", f"{tmp_path}/s"], capsys)
+    assert e.value.code == 0
+    capsys.readouterr()  # drain the validate report left by the SystemExit
+
+    out = _run(["build-ui", "--staging-prefix", f"{tmp_path}/s", "--output-prefix", f"{tmp_path}/g"], capsys)
+    stats = json.loads(out[out.index("{"):])
+    assert stats["n_edges"] == 600
+
+
+def test_embed_and_subset(tmp_path, capsys):
+    _run(["synth", "--out", f"{tmp_path}/s", "--users", "40", "--items", "30", "--interactions", "400"], capsys)
+    out = _run(["embed-text", "--staging-prefix", f"{tmp_path}/s", "--output-prefix", f"{tmp_path}/e"], capsys)
+    meta = json.loads(out[out.index("{"):])
+    assert meta["dims"] == 384
+    out = _run(["build-subset", "--staging-prefix", f"{tmp_path}/s", "--features", f"{tmp_path}/e/txt.npy",
+                "--output-prefix", f"{tmp_path}/e", "--feature-name", "txt"], capsys)
+    assert "n_interacted" in out
+
+
+def test_gate_exit_codes(tmp_path, capsys):
+    cur = tmp_path / "cur.json"
+    base = tmp_path / "base.json"
+    cur.write_text(json.dumps({"test": {"ndcg@20": 0.02}}))
+    base.write_text(json.dumps({"test": {"ndcg@20": 0.01}}))
+    with pytest.raises(SystemExit) as e:
+        _run(["gate", "--current", str(cur), "--baseline", str(base)], capsys)
+    assert e.value.code == 0
+    base.write_text(json.dumps({"test": {"ndcg@20": 0.9}}))
+    with pytest.raises(SystemExit) as e:
+        _run(["gate", "--current", str(cur), "--baseline", str(base)], capsys)
+    assert e.value.code == 3
+
+
+def test_validate_manifests_cli(capsys, monkeypatch, tmp_path):
+    reg = tmp_path / "registry.json"
+    man = tmp_path / "m.json"
+    good = tmp_path / "exists"
+    good.mkdir()
+    man.write_text(json.dumps({
+        "id": "t", "dataset": "d",
+        "paths": {"staging_prefix": str(good), "embeddings_prefix": str(good), "graphs_prefix": str(good)},
+        "defaults": {},
+    }))
+    reg.write_text(json.dumps({"manifests": {"t": str(man)}}))
+    with pytest.raises(SystemExit) as e:
+        _run(["validate-manifests", "--registry", str(reg)], capsys)
+    assert e.value.code == 0
+
+
+def test_unknown_command_errors(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.main(["frobnicate"])
+    assert e.value.code == 2

@@ -311,6 +311,18 @@ def main(argv=None):
     # NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the experimental
     # remote-compile TPU backend hangs when the persistent cache is active
     # (observed: train step never finished compiling with the cache enabled).
+    #
+    # PLOTPOINTE_PLATFORM=cpu forces the CPU backend. Plain JAX_PLATFORMS is
+    # NOT enough on hosts whose sitecustomize programmatically selects the
+    # TPU plugin after registration.
+    import os
+
+    platform = os.environ.get("PLOTPOINTE_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     ap = argparse.ArgumentParser(prog="plotpointe_tpu", description="TPU-native graph recommender pipeline")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -37,13 +37,16 @@ def synthetic_interactions(
     u_fac /= np.linalg.norm(u_fac, axis=1, keepdims=True)
     i_fac /= np.linalg.norm(i_fac, axis=1, keepdims=True)
 
-    # Power-law user activity; every user gets >=2 interactions when possible
-    activity = rng.zipf(concentration + 1.0, size=n_users).astype(np.float64)
+    # Heavy-tailed but Amazon-calibrated activity/popularity: lognormal weights
+    # with CV ~= 1 for users (reference: mean 7.07, sigma 6.97) and CV ~= 3 for
+    # items (mean 21.6, sigma 65.3, PHASE0_REPORT.md:172). Raw zipf draws as
+    # weights produce single items owning >5% of all interactions, which no
+    # real catalog has and which destroys popularity-signal calibration.
+    activity = rng.lognormal(mean=0.0, sigma=0.9 * concentration / 1.2, size=n_users)
     activity = activity / activity.sum()
     users = rng.choice(n_users, size=n_interactions, p=activity)
 
-    # Item popularity prior (power law) mixed with affinity
-    popularity = rng.zipf(concentration + 0.8, size=n_items).astype(np.float64)
+    popularity = rng.lognormal(mean=0.0, sigma=1.35 * concentration / 1.2, size=n_items)
     popularity = popularity / popularity.sum()
 
     # Vectorized affinity-biased item choice: sample C candidates by popularity,

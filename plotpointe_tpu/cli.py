@@ -226,8 +226,9 @@ def _cmd_validate_manifests(args):
 
 
 def _cmd_pipeline(args):
-    """Run the full pipeline in-process: the reference's run_pipeline_v2.sh
-    as one orchestrated command."""
+    """Run the full pipeline: the reference's run_pipeline_v2.sh as one
+    orchestrated command. --in-process runs stages as function calls in this
+    interpreter (one TPU attach, one jax runtime) instead of subprocesses."""
     import subprocess
 
     base = [sys.executable, "-m", "plotpointe_tpu.cli"]
@@ -252,7 +253,14 @@ def _cmd_pipeline(args):
     ]
     for step in steps:
         print(f"[pipeline] {' '.join(step)}", flush=True)
-        subprocess.run(base + step, check=True)
+        if args.in_process:
+            try:
+                main(step)
+            except SystemExit as e:  # validate et al. exit by design
+                if e.code not in (0, None):
+                    raise
+        else:
+            subprocess.run(base + step, check=True)
     print(json.dumps({"pipeline": "complete", "workdir": d}))
 
 
@@ -467,6 +475,8 @@ def main(argv=None):
     p.add_argument("--eval-neg-k", type=int, default=500)
     p.add_argument("--hidden-dim", type=int, default=64)
     p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--in-process", action="store_true",
+                   help="run stages as function calls (one TPU attach) instead of subprocesses")
     p.set_defaults(fn=_cmd_pipeline)
 
     args = ap.parse_args(argv)

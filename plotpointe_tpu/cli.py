@@ -158,6 +158,7 @@ def _cmd_train(args):
         staging_prefix=args.staging_prefix,
         embeddings_prefix=args.embeddings_prefix,
         models_prefix=args.models_prefix,
+        resume=args.resume,
     )
     print(json.dumps({"best_val_ndcg@20": results["best_val_ndcg@20"], "test": results["test"]}, indent=2))
 
@@ -412,6 +413,8 @@ def main(argv=None):
     p.add_argument("--loss", choices=["bpr", "bce"], default="bpr")
     p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
     p.add_argument("--structured-logs", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="save resume state each epoch and continue from it if present (preemption-safe)")
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("gate", help="promotion gate")

@@ -47,6 +47,7 @@ def train_from_artifacts(
     embeddings_prefix: str,
     models_prefix: str,
     store: Optional[ArtifactStore] = None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     """interactions.parquet + features npy -> trained checkpoint + metrics json."""
     store = store or ArtifactStore()
@@ -77,7 +78,12 @@ def train_from_artifacts(
     cfg.run_id = run_id
     ckpt_uri = f"{models_prefix}/checkpoints/{run_id}.npz"
     ckpt_local = store._tmp_for(ckpt_uri, ".npz")
-    results = trainer.fit(jax.random.key(cfg.seed), checkpoint_path=str(ckpt_local))
+    resume_local = store._tmp_for(f"{models_prefix}/resume.npz", ".npz")
+    results = trainer.fit(
+        jax.random.key(cfg.seed),
+        checkpoint_path=str(ckpt_local),
+        resume_path=str(resume_local) if resume else None,
+    )
     store.publish(ckpt_local, ckpt_uri)
 
     metrics = {

@@ -264,6 +264,13 @@ class Trainer:
                 if checkpoint_path:
                     save_checkpoint(checkpoint_path, state.best_params, self.model.config_dict() | {"train_config": cfg.to_dict()})
             state.epoch = epoch
+            if resume_path is not None:
+                from plotpointe_tpu.train.checkpoint import save_resume_state
+
+                save_resume_state(
+                    resume_path, state.params, state.opt_state, state.best_params,
+                    {"epoch": epoch, "best_val_ndcg20": float(state.best_val_ndcg20)},
+                )
 
         # no-val datasets (all users have exactly 2 interactions): best = last
         if state.best_val_ndcg20 < 0:

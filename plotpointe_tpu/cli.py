@@ -146,6 +146,7 @@ def _cmd_train(args):
         heads=args.heads,
         epochs=args.epochs,
         samples_per_epoch=args.samples_per_epoch,
+        steps_per_epoch=args.steps_per_epoch,
         seed=args.seed,
         eval_neg_k=args.eval_neg_k,
         item_features=args.item_features,
@@ -407,6 +408,7 @@ def main(argv=None):
     p.add_argument("--heads", type=int, default=1)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--samples-per-epoch", type=int, default=200_000)
+    p.add_argument("--steps-per-epoch", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--eval-neg-k", type=int, default=1000)
     p.add_argument("--item-features", choices=["fused", "txt"], default="fused")

@@ -55,6 +55,7 @@ class TrainConfig:
     l2: float = 1e-4
     epochs: int = 20
     samples_per_epoch: int = 200_000
+    steps_per_epoch: int = 1  # reference protocol: ONE optimizer step per epoch
     loss: str = "bpr"  # {bpr, bce}
     seed: int = 42
     # eval protocol (1 positive + eval_neg_k sampled negatives per user)

@@ -241,8 +241,16 @@ class Trainer:
                 # LightGCN: mini-batch BPR over all positives (reference protocol)
                 loss = self._run_lightgcn_epoch(state, k_epoch)
             else:
-                state.params, state.opt_state, loss = self._train_step(state.params, state.opt_state, k_epoch)
-                loss = float(loss)
+                # reference protocol is steps_per_epoch=1 (one backward per
+                # epoch, train_gat_custom.py:341-363); >1 is a beyond-parity
+                # option that resamples fresh triples per step
+                tot = 0.0
+                for sstep in range(max(1, cfg.steps_per_epoch)):
+                    state.params, state.opt_state, loss = self._train_step(
+                        state.params, state.opt_state, jax.random.fold_in(k_epoch, sstep)
+                    )
+                    tot += float(loss)
+                loss = tot / max(1, cfg.steps_per_epoch)
             step_time = time.perf_counter() - t0
 
             t1 = time.perf_counter()

@@ -28,6 +28,13 @@ def _cmd_synth(args):
     print(json.dumps({"n_interactions": len(df), "n_items": len(items), "out": args.out}))
 
 
+def _cmd_stage(args):
+    from plotpointe_tpu.data.stage import stage
+
+    uris, stats = stage(args.reviews, args.meta, args.out, max_records=args.max_records)
+    print(json.dumps(stats, indent=2))
+
+
 def _cmd_validate(args):
     from plotpointe_tpu.data.validate import validate
     from plotpointe_tpu.utils.artifacts import ArtifactStore
@@ -344,6 +351,13 @@ def main(argv=None):
     p.add_argument("--extra-items", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=_cmd_synth)
+
+    p = sub.add_parser("stage", help="stage SNAP loose-JSON dumps into parquet")
+    p.add_argument("--reviews", required=True, help="reviews .json(.gz) path")
+    p.add_argument("--meta", required=True, help="item metadata .json(.gz) path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-records", type=int, default=None)
+    p.set_defaults(fn=_cmd_stage)
 
     p = sub.add_parser("validate", help="contract-validate staged data")
     p.add_argument("--prefix", required=True)

@@ -283,6 +283,7 @@ def _cmd_ablate(args):
     base = dict(
         model_family="gat", hidden_dim=args.hidden_dim, layers=2, heads=1,
         epochs=args.epochs, samples_per_epoch=args.samples_per_epoch,
+        steps_per_epoch=args.steps_per_epoch,
         eval_neg_k=args.eval_neg_k, item_features=args.item_features,
         loss="bpr", attn_impl=args.attn_impl,
     )
@@ -471,6 +472,7 @@ def main(argv=None):
     p.add_argument("--embeddings-prefix", required=True)
     p.add_argument("--models-prefix", required=True)
     p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--steps-per-epoch", type=int, default=1)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--samples-per-epoch", type=int, default=100_000)
     p.add_argument("--eval-neg-k", type=int, default=500)

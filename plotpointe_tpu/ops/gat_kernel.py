@@ -247,6 +247,13 @@ def segment_softmax_attention_pallas(
 
         return attention_v3(h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng)
     if graph.chunk_base is None:
+        if graph.layout is not None:
+            # layout-only graph but a config v3 can't serve (heads > 1 or
+            # d % 128 != 0): fall back to the XLA reference rather than
+            # demanding the v1/v2 tiling too
+            return _seg.segment_softmax_attention(
+                h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng, impl="xla"
+            )
         raise ValueError(
             "graph needs tiling metadata: call graph.with_layout() (or with_tiling()) before to_device()"
         )

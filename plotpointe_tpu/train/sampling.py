@@ -48,7 +48,9 @@ def _rank_to_item(r: jax.Array, sorted_avoid: jax.Array) -> jax.Array:
 
 
 def _uniform_ranks(key: jax.Array, shape, bound: jax.Array) -> jax.Array:
-    """r ~ Uniform[0, bound) with per-element bounds (bound >= 1)."""
+    """r ~ Uniform[0, bound) with per-element bounds (degenerate bound <= 0,
+    i.e. a user whose positives cover every item, clamps to rank 0)."""
+    bound = jnp.maximum(bound, 1)
     u = jax.random.uniform(key, shape, dtype=jnp.float32)
     r = jnp.floor(u * bound.astype(jnp.float32)).astype(jnp.int32)
     return jnp.minimum(r, bound - 1)

@@ -66,3 +66,34 @@ def test_end_to_end_graph_from_splits(tiny_dataset):
     assert g.n_nodes == s.n_users + s.n_items
     # all edges valid node ids; weights symmetric copies
     assert np.asarray(g.src)[: g.n_edges].max() < g.n_nodes
+
+
+def test_gat_model_head_mean_parity(rng, tiny_dataset):
+    # heads=H output equals the mean of per-head single-head attention outputs
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.models.gat import GATModel
+    from plotpointe_tpu.ops.segment import segment_softmax_attention
+
+    df = tiny_dataset
+    u2i, i2i = build_node_maps(df)
+    s = build_splits(df, u2i, i2i)
+    g = build_bipartite_graph(s.train_u, s.train_i, s.n_users, s.n_items, pad_multiple=256).to_device()
+    feats = jnp.asarray(rng.normal(size=(s.n_items, 12)).astype("float32"))
+
+    model = GATModel(n_users=s.n_users, n_items=s.n_items, feat_dim=12, hidden_dim=16, n_layers=1, heads=2)
+    params = model.init(jax.random.key(0))
+    out = model.apply(params, feats, g)
+
+    x = model.node_features(params, feats)
+    layer = params["layers"][0]
+    h = jnp.einsum("nf,fhd->nhd", x, layer["w"])
+    per_head = []
+    for hd in range(2):
+        o = segment_softmax_attention(
+            h[:, hd : hd + 1, :], layer["a_src"][hd : hd + 1], layer["a_dst"][hd : hd + 1], g
+        )
+        per_head.append(o[:, 0, :])
+    want = (per_head[0] + per_head[1]) / 2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)

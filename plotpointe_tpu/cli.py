@@ -253,6 +253,8 @@ def _cmd_pipeline(args):
         ["build-ui", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/graphs"],
         ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/fused.npy",
          "--output-prefix", f"{d}/embeddings", "--feature-name", "fused"],
+        ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/txt.npy",
+         "--output-prefix", f"{d}/embeddings", "--feature-name", "txt"],
         ["build-knn", "--features", f"{d}/embeddings/fused_interacted.npy", "--output-prefix", f"{d}/graphs"],
         ["train", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
          "--models-prefix", f"{d}/models", "--item-features", "fused",

@@ -51,6 +51,10 @@ def _eval_chunk(
     neg_scores = jnp.take_along_axis(scores_all, negs, axis=1)  # [C, neg_k]
 
     rank = 1 + jnp.sum(neg_scores > pos_score, axis=1)  # strict >, ties favor positive
+    # NaN guard: NaN scores make every comparison False -> rank 1 -> fake
+    # perfect metrics (a diverged model would otherwise score 1.0); count a
+    # non-finite positive score as unranked instead
+    rank = jnp.where(jnp.isfinite(pos_score[:, 0]), rank, neg_k + 2)
     out = {}
     for k in ks:
         hit = (rank <= k).astype(jnp.float32) * valid

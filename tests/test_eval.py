@@ -90,3 +90,20 @@ def test_eval_random_model_near_chance(rng):
     )
     expected = 10 / 100
     assert abs(got["recall@10"] - expected) < 0.06
+
+
+def test_eval_nan_scores_not_perfect(rng):
+    # a diverged model (NaN embeddings) must score 0, not 1.0
+    n_users, n_items, H = 16, 40, 4
+    U = np.full((n_users, H), np.nan, dtype=np.float32)
+    I = rng.normal(size=(n_items, H)).astype(np.float32)
+    eval_u = np.arange(n_users, dtype=np.int32)
+    eval_i = rng.integers(0, n_items, n_users).astype(np.int32)
+    pos_table = np.full((n_users, 1), n_items, dtype=np.int32)
+    user_deg = np.zeros(n_users, dtype=np.int32)
+    got = sampled_eval(
+        jnp.asarray(U), jnp.asarray(I), eval_u, eval_i, jnp.asarray(pos_table),
+        jnp.asarray(user_deg), jax.random.key(5), neg_k=10, ks=(5,), chunk=8,
+    )
+    assert got["recall@5"] == 0.0
+    assert got["ndcg@5"] == 0.0

@@ -41,7 +41,16 @@ def _bench_knn():
     t0 = time.perf_counter()
     idx, sim, valid = cosine_knn(xd, k=k, min_similarity=0.3, block_rows=1024)
     dt = time.perf_counter() - t0
-    return dt
+
+    # device-only portion (excludes the [N,k] result readback, which on this
+    # environment crosses a ~30 MB/s tunnel relay; real hosts pay PCIe rates)
+    from plotpointe_tpu.graphs.knn import _knn_blocks
+
+    t0 = time.perf_counter()
+    didx, dsim = _knn_blocks(xd, k, 1024)
+    jax.block_until_ready((didx, dsim))
+    dev_dt = time.perf_counter() - t0
+    return dt, dev_dt
 
 
 def _bench_gat_train(
@@ -138,12 +147,13 @@ def main():
     device = str(jax.devices()[0])
     result = {}
 
-    knn_s = _bench_knn()
+    knn_s, knn_dev_s = _bench_knn()
     result["metric"] = "ii_knn_63001x384_k20_build_time"
     result["value"] = round(knn_s, 4)
     result["unit"] = "s"
     baseline_s = 100.40  # PHASE0_REPORT.md:180-183, n1-highmem-8
     result["vs_baseline"] = round(baseline_s / knn_s, 2)
+    result["knn_device_only_s"] = round(knn_dev_s, 4)
 
     try:
         step_time, fwd_time, eps, loss = _bench_gat_train(attn_impl="xla")

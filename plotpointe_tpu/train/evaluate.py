@@ -55,7 +55,11 @@ def _eval_chunk(
     # perfect metrics (a diverged model would otherwise score 1.0); count a
     # non-finite positive score as unranked instead
     rank = jnp.where(jnp.isfinite(pos_score[:, 0]), rank, neg_k + 2)
-    out = {}
+    # degenerate-collapse diagnostic: fraction of negatives EXACTLY tying the
+    # positive (a collapsed model ties everything and the reference's strict->
+    # rule then scores it perfect; surfacing tie_fraction makes that visible)
+    ties = jnp.sum(neg_scores == pos_score, axis=1).astype(jnp.float32) / neg_k
+    out = {"tie_frac_sum": (ties * valid).sum()}
     for k in ks:
         hit = (rank <= k).astype(jnp.float32) * valid
         ndcg = jnp.where(rank <= k, 1.0 / jnp.log2(rank.astype(jnp.float32) + 1.0), 0.0) * valid
@@ -90,6 +94,7 @@ def sampled_eval(
     valid[:n] = 1.0
 
     sums = {f"{m}@{k}_sum": 0.0 for k in ks for m in ("recall", "ndcg")}
+    sums["tie_frac_sum"] = 0.0
     count = 0.0
     for c in range(n_pad // chunk):
         sl = slice(c * chunk, (c + 1) * chunk)
@@ -113,4 +118,5 @@ def sampled_eval(
     for k in ks:
         metrics[f"recall@{k}"] = sums[f"recall@{k}_sum"] / max(count, 1.0)
         metrics[f"ndcg@{k}"] = sums[f"ndcg@{k}_sum"] / max(count, 1.0)
+    metrics["tie_fraction"] = sums["tie_frac_sum"] / max(count, 1.0)
     return metrics

@@ -120,12 +120,15 @@ def train_fusion(
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, perm, s, rng):
+    def step(params, opt_state, txt_all, img_all, perm, s, rng):
         # batch slicing happens INSIDE jit with a traced start index — a
         # python-int start would bake into the program and retrace per step
-        # (catastrophic under remote compilation)
+        # (catastrophic under remote compilation). The modality matrices are
+        # explicit ARGUMENTS: closing over them bakes hundreds of MB of
+        # constants into the program (rejected by remote compilation, and
+        # wasteful everywhere).
         idx = jax.lax.dynamic_slice_in_dim(perm, s * bs, bs)
-        tb, ib = txt_j[idx], img_j[idx]
+        tb, ib = txt_all[idx], img_all[idx]
 
         def loss_fn(p):
             fused = model.apply(p, tb, ib, train=True, rng=rng)
@@ -146,7 +149,7 @@ def train_fusion(
         tot = 0.0
         for s in range(steps_per_epoch):
             rng = jax.random.fold_in(k_epoch, s + 1)
-            params, opt_state, loss, lt, li = step(params, opt_state, perm, jnp.int32(s), rng)
+            params, opt_state, loss, lt, li = step(params, opt_state, txt_j, img_j, perm, jnp.int32(s), rng)
             tot += float(loss)
         history[f"epoch_{epoch + 1}_loss"] = tot / steps_per_epoch
     return params, history

@@ -101,6 +101,73 @@ def sharded_attention(
     return f(h, a_src, a_dst, jnp.asarray(graph.src), jnp.asarray(graph.dst))
 
 
+def make_sharded_lightgcn_step(
+    model,
+    loss_name: str,
+    mesh: Mesh,
+    n_users: int,
+    n_items: int,
+    axis: str = "data",
+) -> Callable:
+    """Fully sharded LightGCN training step: row-sharded embedding tables +
+    edge-sharded propagation + batch-sharded BPR triples.
+
+    The reference trains LightGCN on one GPU with full tables in device memory
+    (`scripts/train_lightgcn.py:56-76`); here each chip holds 1/n of the user
+    and item tables (parallel.sharded_table layout), all-gathers them into the
+    propagation input once per step (ICI ring, [N, d] bf16-able), runs K SpMM
+    rounds over its local edge shard with `psum` combination, and scores its
+    local triple shard. Autodiff transposes the tiled all_gather into
+    psum_scatter, so gradients arrive row-sharded on the owning device with no
+    extra code — the optimizer update then runs shard-local.
+
+    step(params, norm_values, src, dst, u, i, j) -> (grads, loss)
+      params: {"user_emb": [Ru_pad, d], "item_emb": [Ri_pad, d]} row-sharded
+      norm_values/src/dst: padded dst-sorted edge arrays, edge-sharded
+      u/i/j: triple batch, batch-sharded; grads row-sharded, loss replicated.
+    """
+    n_nodes = n_users + n_items
+    n_shards = int(mesh.shape[axis])
+    loss_fn_elem = LOSSES[loss_name]
+    k_layers = int(model.n_prop_layers)
+
+    @jax.jit
+    def step(params, norm_values, src, dst, u, i, j):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis),) * 8,
+            out_specs=(P(axis), P()),
+        )
+        def inner(ue_l, ie_l, vals_l, src_l, dst_l, u_l, i_l, j_l):
+            def local_loss(tables):
+                ue_l, ie_l = tables
+                ue = jax.lax.all_gather(ue_l, axis, tiled=True)[:n_users]
+                ie = jax.lax.all_gather(ie_l, axis, tiled=True)[:n_items]
+                x = jnp.concatenate([ue, ie], axis=0)
+                acc = x
+                out = x
+                for _ in range(k_layers):
+                    xp = jnp.concatenate([out, jnp.zeros((1, out.shape[1]), out.dtype)], axis=0)
+                    msg = vals_l[:, None] * xp[src_l]
+                    part = jax.ops.segment_sum(msg, dst_l, num_segments=n_nodes + 1, indices_are_sorted=True)
+                    out = jax.lax.psum(part, axis)[:n_nodes]
+                    acc = acc + out
+                acc = acc / (k_layers + 1)
+                U, I = acc[:n_users], acc[n_users:]
+                pos = jnp.sum(U[u_l] * I[i_l], axis=-1)
+                neg = jnp.sum(U[u_l] * I[j_l], axis=-1)
+                # local mean / n_shards; summed across devices via the final psum
+                return loss_fn_elem(pos, neg) / n_shards
+
+            loss_l, (gu_l, gi_l) = jax.value_and_grad(local_loss)((ue_l, ie_l))
+            return {"user_emb": gu_l, "item_emb": gi_l}, jax.lax.psum(loss_l, axis)
+
+        return inner(params["user_emb"], params["item_emb"], norm_values, src, dst, u, i, j)
+
+    return step
+
+
 def make_sharded_train_step(
     model,
     loss_name: str,

@@ -1,0 +1,114 @@
+"""Row-sharded embedding tables: lookups and gradients must match the dense
+single-device table exactly, and the fully sharded LightGCN step must match
+the single-device trainer math (SURVEY.md section 2.3 hard part #2)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plotpointe_tpu.graphs.csr import build_bipartite_graph, symmetric_normalized_weights
+from plotpointe_tpu.models.lightgcn import LightGCNModel
+from plotpointe_tpu.parallel.mesh import make_mesh
+from plotpointe_tpu.parallel.sharded_table import (
+    device_put_row_sharded,
+    lookup_batch_sharded,
+    lookup_replicated,
+    padded_rows,
+)
+from plotpointe_tpu.parallel.spmd import make_sharded_lightgcn_step, shard_graph_by_edges
+from plotpointe_tpu.train.losses import bpr_loss
+
+
+@pytest.fixture(scope="module")
+def mesh8(request):
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh({"data": 8}, devices=devs[:8])
+
+
+@pytest.mark.multidevice
+def test_lookup_replicated_matches_dense(mesh8, rng):
+    n_rows, d = 203, 16  # deliberately not divisible by 8
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    ids = rng.integers(0, n_rows, 64).astype(np.int32)
+
+    sharded = device_put_row_sharded(table, mesh8)
+    assert sharded.shape[0] == padded_rows(n_rows, 8)
+    got = lookup_replicated(mesh8, sharded, jnp.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(got), table[ids])
+
+
+@pytest.mark.multidevice
+def test_lookup_batch_sharded_matches_dense(mesh8, rng):
+    n_rows, d, B = 203, 16, 64
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    ids = rng.integers(0, n_rows, B).astype(np.int32)
+
+    sharded = device_put_row_sharded(table, mesh8)
+    got = lookup_batch_sharded(mesh8, sharded, jnp.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(got), table[ids])
+
+
+@pytest.mark.multidevice
+def test_lookup_gradient_scatters_to_owner(mesh8, rng):
+    """Grad of a loss over looked-up rows == dense scatter-add of upstream grads."""
+    n_rows, d, B = 96, 8, 40
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    ids = rng.integers(0, n_rows, B).astype(np.int32)
+    w = rng.normal(size=(B, d)).astype(np.float32)
+    sharded = device_put_row_sharded(table, mesh8)
+
+    def loss_sharded(t):
+        return jnp.sum(lookup_replicated(mesh8, t, jnp.asarray(ids)) * w)
+
+    got = np.asarray(jax.grad(loss_sharded)(sharded))[:n_rows]
+
+    want = np.zeros_like(table)
+    np.add.at(want, ids, w)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.multidevice
+def test_sharded_lightgcn_step_matches_single(mesh8, rng):
+    n_users, n_items = 60, 44
+    tu = rng.integers(0, n_users, 400).astype(np.int32)
+    ti = rng.integers(0, n_items, 400).astype(np.int32)
+    g = build_bipartite_graph(tu, ti, n_users, n_items, pad_multiple=64)
+    g = shard_graph_by_edges(g, 8)
+    vals = symmetric_normalized_weights(g)
+
+    model = LightGCNModel(n_users=n_users, n_items=n_items, embed_dim=16, n_prop_layers=3)
+    params = model.init(jax.random.key(0))
+
+    B = 64
+    u = jnp.asarray(rng.integers(0, n_users, B).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    j = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+
+    sharded_params = {
+        "user_emb": device_put_row_sharded(params["user_emb"], mesh8),
+        "item_emb": device_put_row_sharded(params["item_emb"], mesh8),
+    }
+    step = make_sharded_lightgcn_step(model, "bpr", mesh8, n_users, n_items)
+    grads, loss = step(
+        sharded_params, jnp.asarray(vals), jnp.asarray(g.src), jnp.asarray(g.dst), u, i, j
+    )
+
+    # single-device reference through the model's own apply
+    gd = g.to_device()
+    vals_d = jnp.asarray(vals)
+
+    def ref_loss(p):
+        z = model.apply(p, None, gd, norm_values=vals_d)
+        U, I = z[:n_users], z[n_users:]
+        return bpr_loss(jnp.sum(U[u] * I[i], -1), jnp.sum(U[u] * I[j], -1))
+
+    want_loss, want_grads = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for k, n_rows in (("user_emb", n_users), ("item_emb", n_items)):
+        got = np.asarray(grads[k])[:n_rows]
+        np.testing.assert_allclose(got, np.asarray(want_grads[k]), rtol=1e-4, atol=1e-6)
+        # padding rows must receive zero gradient
+        np.testing.assert_array_equal(np.asarray(grads[k])[n_rows:], 0.0)

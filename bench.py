@@ -46,8 +46,11 @@ def _bench_knn():
     # environment crosses a ~30 MB/s tunnel relay; real hosts pay PCIe rates)
     from plotpointe_tpu.graphs.knn import _knn_blocks
 
+    n_pad = ((n + 1023) // 1024) * 1024  # _knn_blocks needs rows % block_rows == 0
+    xp = jnp.concatenate([xd, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
+    jax.block_until_ready(_knn_blocks(xp, k, 1024))  # warmup/compile
     t0 = time.perf_counter()
-    didx, dsim = _knn_blocks(xd, k, 1024)
+    didx, dsim = _knn_blocks(xp, k, 1024)
     jax.block_until_ready((didx, dsim))
     dev_dt = time.perf_counter() - t0
     return dt, dev_dt

@@ -160,6 +160,8 @@ def _cmd_train(args):
         loss=args.loss,
         structured_logs=args.structured_logs,
         attn_impl=args.attn_impl,
+        optimizer=args.optimizer,
+        warmup_steps=args.warmup_steps,
     )
     results = train_from_artifacts(
         cfg,
@@ -288,6 +290,7 @@ def _cmd_ablate(args):
         steps_per_epoch=args.steps_per_epoch,
         eval_neg_k=args.eval_neg_k, item_features=args.item_features,
         loss="bpr", attn_impl=args.attn_impl,
+        optimizer=args.optimizer, warmup_steps=args.warmup_steps,
     )
     variants = {
         "fused_bpr_l2_h1": {},
@@ -431,6 +434,9 @@ def main(argv=None):
     p.add_argument("--item-features", choices=["fused", "txt"], default="fused")
     p.add_argument("--loss", choices=["bpr", "bce"], default="bpr")
     p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam",
+                   help="adam = reference parity (coupled L2); adamw decouples decay for long schedules")
+    p.add_argument("--warmup-steps", type=int, default=0, help="linear lr warmup (beyond-parity)")
     p.add_argument("--structured-logs", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="save resume state each epoch and continue from it if present (preemption-safe)")
@@ -480,6 +486,8 @@ def main(argv=None):
     p.add_argument("--eval-neg-k", type=int, default=500)
     p.add_argument("--item-features", default="fused")
     p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--only", default=None, help="comma-separated variant names")
     p.set_defaults(fn=_cmd_ablate)
 

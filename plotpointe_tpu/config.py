@@ -56,6 +56,10 @@ class TrainConfig:
     epochs: int = 20
     samples_per_epoch: int = 200_000
     steps_per_epoch: int = 1  # reference protocol: ONE optimizer step per epoch
+    # beyond-parity: "adamw" decouples weight decay (prevents the long-schedule
+    # plateau collapse, see train/trainer.py::make_optimizer); warmup ramps lr
+    optimizer: str = "adam"  # {adam (reference parity), adamw}
+    warmup_steps: int = 0
     loss: str = "bpr"  # {bpr, bce}
     seed: int = 42
     # eval protocol (1 positive + eval_neg_k sampled negatives per user)

@@ -91,3 +91,54 @@ def test_best_checkpoint_written(tmp_path, training_setup):
     cfg2 = load_config(ckpt)
     assert cfg2["model_family"] == "gat"
     assert "train_config" in cfg2
+
+
+def test_adamw_resists_plateau_collapse():
+    """Coupled-L2 Adam (reference parity) shrinks weights ~lr per step once
+    real gradients vanish — the long-schedule collapse mode recorded in
+    docs/RESULTS.md. Decoupled decay (optimizer="adamw") must shrink only
+    proportionally (rate lr*l2)."""
+    import jax.numpy as jnp
+    import optax
+
+    from plotpointe_tpu.train.trainer import make_optimizer
+
+    w0 = jnp.ones((4,))
+    zero_grad = jnp.zeros((4,))
+    lr, l2, steps = 1e-2, 1e-4, 100
+
+    finals = {}
+    for name in ("adam", "adamw"):
+        tx = make_optimizer(lr, l2, optimizer=name)
+        params = w0
+        st = tx.init(params)
+        for _ in range(steps):
+            upd, st = tx.update(zero_grad, st, params)
+            params = optax.apply_updates(params, upd)
+        finals[name] = float(params[0])
+
+    # parity mode collapses toward zero (~lr per step); adamw barely moves
+    assert finals["adam"] < 0.25, finals
+    assert finals["adamw"] > 0.99, finals
+
+
+def test_warmup_scales_first_update():
+    import jax.numpy as jnp
+    import optax
+
+    from plotpointe_tpu.train.trainer import make_optimizer
+
+    g = jnp.full((3,), 0.5)
+    p = jnp.ones((3,))
+
+    def first_update(warmup):
+        tx = make_optimizer(1e-2, 0.0, warmup_steps=warmup)
+        st = tx.init(p)
+        upd, _ = tx.update(g, st, p)
+        return upd
+
+    base = first_update(0)
+    ramped = first_update(10)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(ramped), np.asarray(base) / 10, rtol=1e-6)

@@ -51,7 +51,7 @@ def _bench_knn():
     jax.block_until_ready(_knn_blocks(xp, k, 1024))  # warmup/compile
     t0 = time.perf_counter()
     didx, dsim = _knn_blocks(xp, k, 1024)
-    jax.block_until_ready((didx, dsim))
+    float(dsim[0, 0])  # host read, not block_until_ready (see _bench_gat_train)
     dev_dt = time.perf_counter() - t0
     return dt, dev_dt
 
@@ -98,21 +98,40 @@ def _bench_gat_train(
     t0 = time.perf_counter()
     for s in range(n_steps):
         params, opt_state, loss = trainer._train_step(params, opt_state, jax.random.key(2 + s))
-    jax.block_until_ready(loss)
+    loss_val = float(loss)  # host read: forces the full chain (block_until_ready
+    # has returned early through the remote relay before, yielding bogus times)
     step_time = (time.perf_counter() - t0) / n_steps
 
     # forward-only (the eval/export/serving path, where the Pallas kernel runs)
     U, I = trainer._forward_eval(params)
-    jax.block_until_ready(I)
+    float(I[0, 0])
     t0 = time.perf_counter()
     for _ in range(5):
         U, I = trainer._forward_eval(params)
-    jax.block_until_ready(I)
+    float(I[0, 0])  # host read, same reason as above
     fwd_time = (time.perf_counter() - t0) / 5
 
     directed_edges = 2 * n_edges
     edges_per_sec = directed_edges * layers / step_time
-    return step_time, fwd_time, edges_per_sec, float(loss)
+    return step_time, fwd_time, edges_per_sec, loss_val
+
+
+def _bench_ui_build(n_users=192_403, n_items=63_001, n_edges=1_689_116):
+    """U-I bipartite CSR build at the reference's exact scale: 11.02 s on
+    n1-standard-4 (`PHASE0_REPORT.md:172-173`). Host-side (native C++ counting
+    sort with numpy fallback) — no device involved."""
+    from plotpointe_tpu.graphs.csr import build_bipartite_graph
+
+    rng = np.random.default_rng(0)
+    tu = rng.integers(0, n_users, n_edges).astype(np.int32)
+    ti = rng.integers(0, n_items, n_edges).astype(np.int32)
+    tw = rng.random(n_edges).astype(np.float32)
+    build_bipartite_graph(tu, ti, n_users, n_items, weight=tw)  # warm page cache/allocator
+    t0 = time.perf_counter()
+    g = build_bipartite_graph(tu, ti, n_users, n_items, weight=tw)
+    dt = time.perf_counter() - t0
+    assert g.n_edges == 2 * n_edges  # symmetric u->i and i->u
+    return dt
 
 
 def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
@@ -135,7 +154,7 @@ def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
             t0 = time.perf_counter()
             for _ in range(10):
                 i, v = fn(items, q, k)
-            jax.block_until_ready(v)
+            float(v[0, 0])  # host read (see _bench_gat_train)
             dt = (time.perf_counter() - t0) / 10
             out[f"serve_topk_{name}_ms"] = round(dt * 1000, 3)
             out[f"serve_topk_{name}_qps"] = round(batch / dt)
@@ -180,6 +199,13 @@ def main():
     if best_eps:
         # full train step (sampling+fwd+bwd+Adam) over 2*|E| directed edges x layers
         result["gat_train_edges_per_sec"] = round(best_eps)
+
+    try:
+        ui_s = _bench_ui_build()
+        result["ui_build_s"] = round(ui_s, 4)
+        result["ui_build_vs_baseline"] = round(11.02 / ui_s, 1)  # PHASE0_REPORT.md:172-173
+    except Exception as e:  # noqa: BLE001
+        result["ui_build_error"] = f"{type(e).__name__}: {e}"[:160]
 
     result.update(_bench_serving())
 

@@ -168,6 +168,80 @@ def make_sharded_lightgcn_step(
     return step
 
 
+def make_sharded_gat_step(
+    model,
+    loss_name: str,
+    mesh: Mesh,
+    n_users: int,
+    n_items: int,
+    axis: str = "data",
+) -> Callable:
+    """Fully sharded GAT training step: row-sharded user embedding table +
+    edge-sharded attention + batch-sharded BPR triples.
+
+    Completes the sharding story for the GAT family (the reference's
+    `nn.Embedding(n_users, 128)` user table, `scripts/train_gat_custom.py:100`,
+    lives whole in one GPU's memory): here each chip owns 1/n of the user
+    table rows (parallel.sharded_table layout). One tiled `all_gather` per
+    step brings the table into the replicated node-feature concat; autodiff
+    transposes it into a `psum_scatter`, so the user-table gradient arrives
+    row-sharded on the owning chip, already reduced, and the Adam update for
+    the big table runs shard-local. Item projection + attention parameters
+    (a few hundred KB) stay replicated with all-reduced gradients.
+
+    step(params, item_feats, src, dst, u, i, j) -> (grads, loss)
+      params["user_emb"]: [Ru_pad, H] row-sharded over `axis`
+      (pad rows — ids >= n_users — receive zero gradient);
+      params["item_proj"], params["layers"]: replicated;
+      item_feats replicated; src/dst edge-sharded; u/i/j batch-sharded.
+      grads mirror the param shardings; loss replicated.
+    """
+    n_nodes = n_users + n_items
+    n_shards = int(mesh.shape[axis])
+    loss_fn_elem = LOSSES[loss_name]
+
+    param_specs = {"user_emb": P(axis), "item_proj": P(), "layers": P()}
+
+    @jax.jit
+    def step(params, item_feats, src, dst, u, i, j):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(param_specs, P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(param_specs, P()),
+        )
+        def inner(params, item_feats, src_l, dst_l, u_l, i_l, j_l):
+            def local_loss(p):
+                ue = jax.lax.all_gather(p["user_emb"], axis, tiled=True)[:n_users]
+                v = item_feats @ p["item_proj"]["w"] + p["item_proj"]["b"]
+                x = jnp.concatenate([ue, v], axis=0)
+                for layer in p["layers"]:
+                    h = jnp.einsum("nf,fhd->nhd", x, layer["w"])
+                    h_pad = jnp.concatenate(
+                        [h, jnp.zeros((1,) + h.shape[1:], h.dtype)], axis=0
+                    )
+                    out = _local_attention(
+                        h_pad, layer["a_src"], layer["a_dst"], src_l, dst_l, n_nodes, axis
+                    )
+                    x = out.mean(axis=1)
+                    if model.use_bias:
+                        x = x + layer["b"]
+                U, I = x[:n_users], x[n_users:]
+                pos = jnp.sum(U[u_l] * I[i_l], axis=-1)
+                neg = jnp.sum(U[u_l] * I[j_l], axis=-1)
+                # local mean / n_shards; summed across devices by the grad
+                # transpose (user_emb: all_gather -> psum_scatter) and the
+                # auto-inserted psum on replicated-param cotangents
+                return loss_fn_elem(pos, neg) / n_shards
+
+            loss_l, grads_l = jax.value_and_grad(local_loss)(params)
+            return grads_l, jax.lax.psum(loss_l, axis)
+
+        return inner(params, item_feats, src, dst, u, i, j)
+
+    return step
+
+
 def make_sharded_train_step(
     model,
     loss_name: str,

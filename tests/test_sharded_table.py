@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from plotpointe_tpu.graphs.csr import build_bipartite_graph, symmetric_normalized_weights
+from plotpointe_tpu.models.gat import GATModel
 from plotpointe_tpu.models.lightgcn import LightGCNModel
 from plotpointe_tpu.parallel.mesh import make_mesh
 from plotpointe_tpu.parallel.sharded_table import (
@@ -16,7 +17,11 @@ from plotpointe_tpu.parallel.sharded_table import (
     lookup_replicated,
     padded_rows,
 )
-from plotpointe_tpu.parallel.spmd import make_sharded_lightgcn_step, shard_graph_by_edges
+from plotpointe_tpu.parallel.spmd import (
+    make_sharded_gat_step,
+    make_sharded_lightgcn_step,
+    shard_graph_by_edges,
+)
 from plotpointe_tpu.train.losses import bpr_loss
 
 
@@ -112,3 +117,60 @@ def test_sharded_lightgcn_step_matches_single(mesh8, rng):
         np.testing.assert_allclose(got, np.asarray(want_grads[k]), rtol=1e-4, atol=1e-6)
         # padding rows must receive zero gradient
         np.testing.assert_array_equal(np.asarray(grads[k])[n_rows:], 0.0)
+
+
+@pytest.mark.multidevice
+def test_sharded_gat_step_matches_single(mesh8, rng):
+    """Fully sharded GAT step (row-sharded user table + edge-sharded attention
+    + batch-sharded triples) must reproduce the single-device loss and grads,
+    with pad-row gradients exactly zero."""
+    n_users, n_items, feat_dim = 60, 44, 12
+    tu = rng.integers(0, n_users, 400).astype(np.int32)
+    ti = rng.integers(0, n_items, 400).astype(np.int32)
+    g = build_bipartite_graph(tu, ti, n_users, n_items, pad_multiple=64)
+    g = shard_graph_by_edges(g, 8)
+    feats = jnp.asarray(rng.normal(size=(n_items, feat_dim)).astype(np.float32))
+
+    model = GATModel(
+        n_users=n_users, n_items=n_items, feat_dim=feat_dim, hidden_dim=16, n_layers=2
+    )
+    params = model.init(jax.random.key(0))
+
+    B = 64
+    u = jnp.asarray(rng.integers(0, n_users, B).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    j = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+
+    sharded_params = dict(params)
+    sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh8)
+    step = make_sharded_gat_step(model, "bpr", mesh8, n_users, n_items)
+    grads, loss = step(
+        sharded_params, feats, jnp.asarray(g.src), jnp.asarray(g.dst), u, i, j
+    )
+
+    gd = g.to_device()
+
+    def ref_loss(p):
+        z = model.apply(p, feats, gd)
+        U, I = z[:n_users], z[n_users:]
+        return bpr_loss(jnp.sum(U[u] * I[i], -1), jnp.sum(U[u] * I[j], -1))
+
+    want_loss, want_grads = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+
+    got_ue = np.asarray(grads["user_emb"])
+    np.testing.assert_allclose(
+        got_ue[:n_users], np.asarray(want_grads["user_emb"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(got_ue[n_users:], 0.0)  # pad rows own no users
+    np.testing.assert_allclose(
+        np.asarray(grads["item_proj"]["w"]),
+        np.asarray(want_grads["item_proj"]["w"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+    for got_l, want_l in zip(grads["layers"], want_grads["layers"]):
+        for k in got_l:
+            np.testing.assert_allclose(
+                np.asarray(got_l[k]), np.asarray(want_l[k]), rtol=1e-4, atol=1e-6
+            )

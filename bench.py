@@ -134,6 +134,53 @@ def _bench_ui_build(n_users=192_403, n_items=63_001, n_edges=1_689_116):
     return dt
 
 
+def _bench_encoders(img_batch=128, txt_batch=256):
+    """Embedding-stage encoder throughput on device, bf16 compute.
+
+    Reference counterpart: CLIP ViT-B/32 image embedding takes ~3-4 h for
+    ~150k items on one L4 (`scripts/parallel_pipeline.sh:56`) ~= 10-14 img/s
+    wall (network-download-bound per item, `embed_image.py:120-136`); text is
+    MiniLM at batch 128 (`embed_text.py:109-115`, throughput unpublished).
+    Ours measures the pure on-device encode path (the ingest path is
+    file-based and overlaps with compute via chunking)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.models.encoders import TransformerTextEncoder, ViTImageEncoder
+
+    out = {}
+    bf16 = lambda t: jax.tree.map(lambda a: a.astype(jnp.bfloat16), t)  # noqa: E731
+    rng = np.random.default_rng(0)
+
+    vit = ViTImageEncoder()
+    vparams = bf16(vit.init(jax.random.key(0)))
+    imgs = jnp.asarray(rng.random((img_batch, 224, 224, 3), dtype=np.float32), jnp.bfloat16)
+    vfn = jax.jit(vit.apply)
+    float(vfn(vparams, imgs)[0, 0].astype(jnp.float32))  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        v = vfn(vparams, imgs)
+    float(v[0, 0].astype(jnp.float32))  # host read (see _bench_gat_train)
+    dt = (time.perf_counter() - t0) / 10
+    out["vit_b32_img_per_sec"] = round(img_batch / dt)
+    # reference wall: 150k items / 3.5h midpoint = 11.9 img/s
+    out["vit_b32_vs_baseline"] = round((img_batch / dt) / 11.9, 1)
+
+    txt = TransformerTextEncoder()
+    tparams = bf16(txt.init(jax.random.key(1)))
+    ids = jnp.asarray(rng.integers(0, txt.vocab_size, (txt_batch, txt.max_len)).astype(np.int32))
+    mask = jnp.ones((txt_batch, txt.max_len), jnp.bfloat16)
+    tfn = jax.jit(txt.apply)
+    float(tfn(tparams, ids, mask)[0, 0].astype(jnp.float32))  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        t = tfn(tparams, ids, mask)
+    float(t[0, 0].astype(jnp.float32))
+    dt = (time.perf_counter() - t0) / 10
+    out["minilm_txt_per_sec"] = round(txt_batch / dt)
+    return out
+
+
 def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
     """Top-K retrieval over the full reference catalog size (serving/runtime.py:67
     scores 498k items per request on CPU numpy)."""
@@ -206,6 +253,11 @@ def main():
         result["ui_build_vs_baseline"] = round(11.02 / ui_s, 1)  # PHASE0_REPORT.md:172-173
     except Exception as e:  # noqa: BLE001
         result["ui_build_error"] = f"{type(e).__name__}: {e}"[:160]
+
+    try:
+        result.update(_bench_encoders())
+    except Exception as e:  # noqa: BLE001
+        result["encoder_error"] = f"{type(e).__name__}: {e}"[:160]
 
     result.update(_bench_serving())
 

@@ -7,10 +7,18 @@ min_sim 0.3) — the reference's only hard throughput number: 100.40 s on an
 n1-highmem-8 CPU (`PHASE0_REPORT.md:180-183`). vs_baseline = baseline_s / ours
 (higher is better, >1 means faster than the reference).
 
+Robustness contract: every section is independently guarded; the headline kNN
+section retries across configs (the TPU tunnel has shown transient INTERNAL
+errors on device->host reads) and falls back to the U-I build headline
+(11.02 s baseline, `PHASE0_REPORT.md:172-173`) if it cannot complete. The
+driver must always receive a populated JSON line.
+
 Extra fields in the same JSON line (no reference counterpart, recorded for
 round-over-round tracking):
   - gat_train_edges_per_sec: full train step (sample+fwd+bwd+Adam) throughput
     on an Amazon-Electronics-scale synthetic graph, edges x layers / step_time
+  - mfu_*: per-kernel roofline accounting (achieved TFLOP/s + speed-of-light
+    fraction via utils/profiling.Roofline) for attention, SpMM, and top-K
   - gat_step_time_s, eval_users_per_sec, device
 """
 from __future__ import annotations
@@ -21,13 +29,29 @@ import time
 import numpy as np
 
 
-def _bench_knn():
+def _err(e: Exception) -> str:
+    return f"{type(e).__name__}: {e}"[:200]
+
+
+def _roofline(name: str, seconds: float, flops: float, bytes_accessed: float,
+              dtype_key: str = "bf16_tflops") -> dict:
+    from plotpointe_tpu.utils.profiling import Roofline
+
+    rep = Roofline(name=name, seconds=seconds, flops=flops,
+                   bytes_accessed=bytes_accessed, dtype_tflops_key=dtype_key).report()
+    return {
+        f"mfu_{name}_tflops": round(rep["achieved_tflops"], 2),
+        f"mfu_{name}_sol": round(rep["sol_fraction"], 3),
+        f"mfu_{name}_bound": rep["bound_by"],
+    }
+
+
+def _bench_knn(n=63_001, d=384, k=20, block_rows=1024):
     import jax
     import jax.numpy as jnp
 
-    from plotpointe_tpu.graphs.knn import cosine_knn
+    from plotpointe_tpu.graphs.knn import _knn_blocks, cosine_knn
 
-    n, d, k = 63_001, 384, 20
     rng = np.random.default_rng(0)
     x = rng.normal(size=(n, d)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
@@ -37,23 +61,26 @@ def _bench_knn():
     xd = jnp.asarray(x)
 
     # warmup/compile (full shape so the block program is cached)
-    jax.block_until_ready(cosine_knn(xd, k=k, min_similarity=0.3, block_rows=1024)[0].shape)
+    cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows)
     t0 = time.perf_counter()
-    idx, sim, valid = cosine_knn(xd, k=k, min_similarity=0.3, block_rows=1024)
+    idx, sim, valid = cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows)
     dt = time.perf_counter() - t0
 
     # device-only portion (excludes the [N,k] result readback, which on this
     # environment crosses a ~30 MB/s tunnel relay; real hosts pay PCIe rates)
-    from plotpointe_tpu.graphs.knn import _knn_blocks
-
-    n_pad = ((n + 1023) // 1024) * 1024  # _knn_blocks needs rows % block_rows == 0
+    n_pad = ((n + block_rows - 1) // block_rows) * block_rows
     xp = jnp.concatenate([xd, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
-    jax.block_until_ready(_knn_blocks(xp, k, 1024))  # warmup/compile
+    jax.block_until_ready(_knn_blocks(xp, k, block_rows))  # warmup/compile
     t0 = time.perf_counter()
-    didx, dsim = _knn_blocks(xp, k, 1024)
+    didx, dsim = _knn_blocks(xp, k, block_rows)
     float(dsim[0, 0])  # host read, not block_until_ready (see _bench_gat_train)
     dev_dt = time.perf_counter() - t0
-    return dt, dev_dt
+
+    # roofline: the dominant op is the [n_pad, d] x [d, n_pad] similarity
+    # matmul at Precision.HIGH (bf16x3 ~ f32-class MXU rate)
+    mfu = _roofline("knn", dev_dt, flops=2.0 * n_pad * n_pad * d,
+                    bytes_accessed=2.0 * n_pad * d * 4, dtype_key="f32_tflops")
+    return dt, dev_dt, mfu
 
 
 def _bench_gat_train(
@@ -111,9 +138,17 @@ def _bench_gat_train(
     float(I[0, 0])  # host read, same reason as above
     fwd_time = (time.perf_counter() - t0) / 5
 
+    mfu = {}
+    if attn_impl == "pallas" and trainer.graph.layout is not None:
+        # per-layer one-hot-matmul kernel flops (cost model in ops/gat_fused.py)
+        L = trainer.graph.layout
+        kflops = 2.0 * L.n_chunks * L.nb * L.eb * hidden * layers
+        kbytes = (L.e_aligned * hidden * 2 + L.n_tiles * L.nb * hidden * 4) * layers
+        mfu = _roofline("gat_attn_fwd", fwd_time, flops=kflops, bytes_accessed=kbytes)
+
     directed_edges = 2 * n_edges
     edges_per_sec = directed_edges * layers / step_time
-    return step_time, fwd_time, edges_per_sec, loss_val
+    return step_time, fwd_time, edges_per_sec, loss_val, mfu
 
 
 def _bench_ui_build(n_users=192_403, n_items=63_001, n_edges=1_689_116):
@@ -132,6 +167,40 @@ def _bench_ui_build(n_users=192_403, n_items=63_001, n_edges=1_689_116):
     dt = time.perf_counter() - t0
     assert g.n_edges == 2 * n_edges  # symmetric u->i and i->u
     return dt
+
+
+def _bench_spmm(n_users=192_403, n_items=63_001, n_edges=1_689_116, d=128):
+    """LightGCN propagation kernel (replaces torch.sparse.mm,
+    train_lightgcn.py:70-71): one SpMM round over the symmetric U-I graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.graphs.csr import build_bipartite_graph, symmetric_normalized_weights
+    from plotpointe_tpu.ops.spmm_kernel import spmm_pallas
+
+    rng = np.random.default_rng(0)
+    tu = rng.integers(0, n_users, n_edges).astype(np.int32)
+    ti = rng.integers(0, n_items, n_edges).astype(np.int32)
+    graph = build_bipartite_graph(tu, ti, n_users, n_items).with_layout()
+    vals = jnp.asarray(symmetric_normalized_weights(graph))
+    L = graph.layout
+    graph = graph.to_device()
+    x = jnp.asarray(rng.normal(size=(graph.n_nodes, d)).astype(np.float32))
+
+    fn = jax.jit(lambda v, x: spmm_pallas(graph, v, x))
+    jax.block_until_ready(fn(vals, x))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = fn(vals, x)
+    float(out[0, 0])
+    dt = (time.perf_counter() - t0) / 10
+    out = {"spmm_ms": round(dt * 1000, 3)}
+    out.update(_roofline("spmm", dt, flops=2.0 * L.n_chunks * L.nb * L.eb * d,
+                         bytes_accessed=L.e_aligned * d * 2 + L.n_tiles * L.nb * d * 4))
+    # useful (algorithmic) flops: 2*nnz*d — the one-hot formulation trades
+    # NB-fold redundant MXU flops for zero scatter traffic
+    out["spmm_useful_tflops"] = round(2.0 * 2 * n_edges * d / dt / 1e12, 2)
+    return out
 
 
 def _bench_encoders(img_batch=128, txt_batch=256):
@@ -205,8 +274,12 @@ def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
             dt = (time.perf_counter() - t0) / 10
             out[f"serve_topk_{name}_ms"] = round(dt * 1000, 3)
             out[f"serve_topk_{name}_qps"] = round(batch / dt)
+            if name == "pallas":
+                # memory-bound: streams the [n_items, d] f32 table once
+                out.update(_roofline("topk", dt, flops=2.0 * batch * n_items * d,
+                                     bytes_accessed=n_items * d * 4.0))
         except Exception as e:  # noqa: BLE001
-            out[f"serve_topk_{name}_error"] = f"{type(e).__name__}: {e}"[:160]
+            out[f"serve_topk_{name}_error"] = _err(e)
     return out
 
 
@@ -216,32 +289,46 @@ def main():
     device = str(jax.devices()[0])
     result = {}
 
-    knn_s, knn_dev_s = _bench_knn()
-    result["metric"] = "ii_knn_63001x384_k20_build_time"
-    result["value"] = round(knn_s, 4)
-    result["unit"] = "s"
-    baseline_s = 100.40  # PHASE0_REPORT.md:180-183, n1-highmem-8
-    result["vs_baseline"] = round(baseline_s / knn_s, 2)
-    result["knn_device_only_s"] = round(knn_dev_s, 4)
+    # -- headline: kNN build, with retries + reduced-config fallback ---------
+    knn_ok = False
+    knn_errors = []
+    for attempt, br in enumerate((1024, 1024, 512)):
+        try:
+            knn_s, knn_dev_s, knn_mfu = _bench_knn(block_rows=br)
+            result["metric"] = "ii_knn_63001x384_k20_build_time"
+            result["value"] = round(knn_s, 4)
+            result["unit"] = "s"
+            baseline_s = 100.40  # PHASE0_REPORT.md:180-183, n1-highmem-8
+            result["vs_baseline"] = round(baseline_s / knn_s, 2)
+            result["knn_device_only_s"] = round(knn_dev_s, 4)
+            result["knn_block_rows"] = br
+            result.update(knn_mfu)
+            knn_ok = True
+            break
+        except Exception as e:  # noqa: BLE001
+            knn_errors.append(f"block_rows={br}: {_err(e)}")
+    if not knn_ok:
+        result["knn_errors"] = knn_errors[:3]
 
     try:
-        step_time, fwd_time, eps, loss = _bench_gat_train(attn_impl="xla")
+        step_time, fwd_time, eps, loss, _ = _bench_gat_train(attn_impl="xla")
         result["gat_xla_step_time_s"] = round(step_time, 4)
         result["gat_xla_fwd_time_s"] = round(fwd_time, 4)
         result["gat_loss"] = round(loss, 4)
         best_eps = eps
     except Exception as e:  # noqa: BLE001 - record the failure, keep the headline metric
-        result["gat_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        result["gat_bench_error"] = _err(e)
         best_eps = 0.0
 
     try:
-        p_step, p_fwd, p_eps, p_loss = _bench_gat_train(attn_impl="pallas")
+        p_step, p_fwd, p_eps, p_loss, p_mfu = _bench_gat_train(attn_impl="pallas")
         result["gat_pallas_step_time_s"] = round(p_step, 4)
         result["gat_pallas_fwd_time_s"] = round(p_fwd, 4)
         result["gat_pallas_loss"] = round(p_loss, 4)
+        result.update(p_mfu)
         best_eps = max(best_eps, p_eps)
     except Exception as e:  # noqa: BLE001
-        result["gat_pallas_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        result["gat_pallas_bench_error"] = _err(e)
 
     if best_eps:
         # full train step (sampling+fwd+bwd+Adam) over 2*|E| directed edges x layers
@@ -251,15 +338,33 @@ def main():
         ui_s = _bench_ui_build()
         result["ui_build_s"] = round(ui_s, 4)
         result["ui_build_vs_baseline"] = round(11.02 / ui_s, 1)  # PHASE0_REPORT.md:172-173
+        if not knn_ok:
+            # fallback headline so the driver always records a populated metric
+            result["metric"] = "ui_build_1689116_edges_time"
+            result["value"] = round(ui_s, 4)
+            result["unit"] = "s"
+            result["vs_baseline"] = round(11.02 / ui_s, 2)
     except Exception as e:  # noqa: BLE001
-        result["ui_build_error"] = f"{type(e).__name__}: {e}"[:160]
+        result["ui_build_error"] = _err(e)
+
+    try:
+        result.update(_bench_spmm())
+    except Exception as e:  # noqa: BLE001
+        result["spmm_error"] = _err(e)
 
     try:
         result.update(_bench_encoders())
     except Exception as e:  # noqa: BLE001
-        result["encoder_error"] = f"{type(e).__name__}: {e}"[:160]
+        result["encoder_error"] = _err(e)
 
-    result.update(_bench_serving())
+    try:
+        result.update(_bench_serving())
+    except Exception as e:  # noqa: BLE001
+        result["serving_error"] = _err(e)
+
+    if "metric" not in result:  # last-resort: never emit an unkeyed line
+        result.update({"metric": "ii_knn_63001x384_k20_build_time", "value": None,
+                       "unit": "s", "vs_baseline": 0.0})
 
     result["device"] = device
     print(json.dumps(result))

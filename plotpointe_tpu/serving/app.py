@@ -1,66 +1,70 @@
-"""FastAPI serving surface — endpoint parity with `serving/app.py:28-71`:
-env-driven startup, POST /startup, GET /healthz, POST /recommend.
-FastAPI import is gated so the core package has no serving dependencies.
+"""FastAPI transport over the shared serving endpoints.
+
+Route surface matches the reference API contract (`serving/app.py:51-71`):
+GET /healthz, POST /startup, POST /recommend — plus this framework's
+POST /feedback telemetry extension. All request handling lives in
+serving/endpoints.ServingState; this module only adapts it to FastAPI
+(pydantic request models, HTTPException on non-200). The import is gated so
+the core package carries no serving dependencies — environments without
+fastapi use the stdlib transport (serving/httpd.py) instead.
 """
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
-from plotpointe_tpu.serving.runtime import RecommenderRuntime, ServingConfig
+from plotpointe_tpu.serving.endpoints import ServingState
 
 
-def create_app():
+def create_app(telemetry=None):
     from fastapi import FastAPI, HTTPException
     from pydantic import BaseModel
 
+    state = ServingState(telemetry=telemetry)
     app = FastAPI(title="plotpointe-tpu recommender")
-    state = {"runtime": None}
 
-    class StartupConfig(BaseModel):
+    class StartupBody(BaseModel):
         item_embeddings_uri: str
         item_index_map_uri: Optional[str] = None
         topk: int = 20
         project_id: Optional[str] = None
+        use_device: bool = True
 
-    class RecommendRequest(BaseModel):
+    class RecommendBody(BaseModel):
         item_ids: List[int]
         k: Optional[int] = None
+        user_key: Optional[str] = None
+
+    class FeedbackBody(BaseModel):
+        request_id: str
+        item_id: int
+        event_type: str = "click"
+        value: float = 1.0
+        user_key: Optional[str] = None
+
+    def unwrap(reply):
+        code, body = reply
+        if code != 200:
+            raise HTTPException(status_code=code, detail=body.get("detail", "error"))
+        return body
 
     @app.on_event("startup")
-    def on_startup():
-        uri = os.getenv("ITEM_EMBEDDINGS_URI")
-        if not uri:
-            return  # manual /startup path
-        cfg = ServingConfig(
-            item_embeddings_uri=uri,
-            item_index_map_uri=os.getenv("ITEM_INDEX_MAP_URI"),
-            topk=int(os.getenv("TOPK", "20")),
-            project_id=os.getenv("PROJECT_ID", os.getenv("GOOGLE_CLOUD_PROJECT")),
-        )
-        rt = RecommenderRuntime(cfg)
-        rt.startup()
-        state["runtime"] = rt
-
-    @app.post("/startup")
-    def manual_start(cfg: StartupConfig):
-        rt = RecommenderRuntime(ServingConfig(**cfg.dict()))
-        rt.startup()
-        state["runtime"] = rt
-        return {"status": "ok"}
+    def _bootstrap():
+        state.startup_from_env()
 
     @app.get("/healthz")
     def healthz():
-        return {"status": "ok"}
+        return unwrap(state.healthz())
+
+    @app.post("/startup")
+    def startup(body: StartupBody):
+        return unwrap(state.startup(body.dict()))
 
     @app.post("/recommend")
-    def recommend(req: RecommendRequest):
-        rt = state["runtime"]
-        if rt is None:
-            raise HTTPException(status_code=503, detail="Model not loaded. Call /startup or set env.")
-        if not req.item_ids:
-            raise HTTPException(status_code=400, detail="item_ids required")
-        idx, scores = rt.top_k_for_user_items(req.item_ids, k=req.k)
-        return {"indices": idx.tolist(), "scores": [float(x) for x in scores.tolist()]}
+    def recommend(body: RecommendBody):
+        return unwrap(state.recommend(body.dict()))
+
+    @app.post("/feedback")
+    def feedback(body: FeedbackBody):
+        return unwrap(state.feedback(body.dict()))
 
     return app

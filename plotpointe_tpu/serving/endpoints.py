@@ -1,0 +1,112 @@
+"""Transport-agnostic serving endpoints.
+
+The HTTP contract comes from the reference API (`serving/app.py:51-71`:
+GET /healthz, POST /startup, POST /recommend {item_ids,k} -> {indices,scores})
+but the implementation is shared framework logic: every endpoint is a pure
+function from a parsed payload to an (http_status, body) pair, and both
+transports — the stdlib http.server surface (httpd.py) and the FastAPI app
+(app.py) — delegate here. Telemetry (/feedback + request logging) is this
+framework's extension; the reference's BigQuery/PubSub sinks were designed but
+never wired into its app.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+from plotpointe_tpu.serving.runtime import RecommenderRuntime, ServingConfig
+
+Reply = Tuple[int, Dict[str, Any]]
+
+MSG_NOT_LOADED = "runtime unavailable: load embeddings via POST /startup or ITEM_EMBEDDINGS_URI"
+MSG_NO_ITEMS = "item_ids required"
+
+
+class ServingState:
+    """Holds the live runtime + optional telemetry sink for one server."""
+
+    def __init__(self, runtime: Optional[RecommenderRuntime] = None, telemetry=None):
+        self.runtime = runtime
+        self.telemetry = telemetry
+
+    # -- endpoints ----------------------------------------------------------
+
+    def healthz(self) -> Reply:
+        return 200, {"status": "ok"}
+
+    def startup(self, payload: Dict[str, Any]) -> Reply:
+        uri = payload.get("item_embeddings_uri")
+        if not uri:
+            return 400, {"detail": "missing field: 'item_embeddings_uri'"}
+        cfg = ServingConfig(
+            item_embeddings_uri=uri,
+            item_index_map_uri=payload.get("item_index_map_uri"),
+            topk=int(payload.get("topk", 20)),
+            project_id=payload.get("project_id"),
+            use_device=bool(payload.get("use_device", True)),
+        )
+        rt = RecommenderRuntime(cfg)
+        try:
+            rt.startup()
+        except FileNotFoundError as e:
+            return 400, {"detail": str(e)}
+        self.runtime = rt
+        return 200, {"status": "ok"}
+
+    def recommend(self, payload: Dict[str, Any]) -> Reply:
+        if self.runtime is None:
+            return 503, {"detail": MSG_NOT_LOADED}
+        raw_ids = payload.get("item_ids")
+        if not raw_ids:
+            return 400, {"detail": MSG_NO_ITEMS}
+        t0 = time.perf_counter()
+        try:
+            idx, scores = self.runtime.top_k_for_user_items(
+                [int(x) for x in raw_ids], k=payload.get("k")
+            )
+        except (IndexError, ValueError) as e:
+            return 400, {"detail": f"bad item_ids: {e}"}
+        body: Dict[str, Any] = {
+            "indices": idx.tolist(),
+            "scores": [float(x) for x in scores.tolist()],
+        }
+        if self.telemetry is not None:
+            latency_ms = (time.perf_counter() - t0) * 1000.0
+            body["request_id"] = self.telemetry.log_request(
+                body["indices"], body["scores"], latency_ms, user_key=payload.get("user_key")
+            )
+        return 200, body
+
+    def feedback(self, payload: Dict[str, Any]) -> Reply:
+        if self.telemetry is None:
+            return 503, {"detail": "telemetry not enabled"}
+        try:
+            self.telemetry.log_feedback(
+                request_id=payload["request_id"],
+                item_id=int(payload["item_id"]),
+                event_type=str(payload.get("event_type", "click")),
+                value=float(payload.get("value", 1.0)),
+                user_key=payload.get("user_key"),
+            )
+        except KeyError as e:
+            return 400, {"detail": f"missing field: {e}"}
+        return 200, {"status": "ok"}
+
+    # -- env bootstrap (Cloud-Run-style, reference `serving/app.py:28-48`) ---
+
+    def startup_from_env(self) -> bool:
+        """Load the runtime from ITEM_EMBEDDINGS_URI / TOPK / PROJECT_ID env
+        vars if set. Returns True when a runtime was loaded."""
+        uri = os.getenv("ITEM_EMBEDDINGS_URI")
+        if not uri:
+            return False
+        code, _ = self.startup(
+            {
+                "item_embeddings_uri": uri,
+                "item_index_map_uri": os.getenv("ITEM_INDEX_MAP_URI"),
+                "topk": int(os.getenv("TOPK", "20")),
+                "project_id": os.getenv("PROJECT_ID", os.getenv("GOOGLE_CLOUD_PROJECT")),
+            }
+        )
+        return code == 200

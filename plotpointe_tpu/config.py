@@ -73,7 +73,8 @@ class TrainConfig:
     batch_size: int = 8192
     neg_per_pos: int = 5
     # TPU execution
-    attn_impl: str = "xla"  # {xla, pallas} — GAT attention aggregation kernel
+    # auto = fused Pallas kernels on TPU, XLA golden path elsewhere
+    attn_impl: str = "auto"  # {auto, xla, pallas} — GAT attention aggregation kernel
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for large runs
     mesh_shape: Optional[str] = None  # e.g. "data:4,model:2"; None = single device

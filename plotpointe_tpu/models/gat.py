@@ -42,7 +42,7 @@ class GATModel:
     attn_dropout: float = 0.1
     use_bias: bool = False  # CustomGAT: lin(bias=False); PyG GATConv: bias=True
     param_dtype: Any = jnp.float32
-    attn_impl: str = "xla"  # {"xla", "pallas"}
+    attn_impl: str = "auto"  # {"auto", "xla", "pallas"} — auto = pallas on TPU
 
     @property
     def n_nodes(self) -> int:
@@ -98,6 +98,11 @@ class GATModel:
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Full-graph forward -> node embeddings [n_nodes, hidden]."""
+        from plotpointe_tpu.ops.segment import resolve_attn_impl
+
+        impl = resolve_attn_impl(self.attn_impl)
+        if impl == "pallas" and graph.layout is None and graph.chunk_base is None:
+            impl = "xla"  # auto-resolved pallas needs kernel tiling; plain graphs use the golden path
         x = self.node_features(params, item_feats)
         drop = self.attn_dropout if train else 0.0
         for li, layer in enumerate(params["layers"]):
@@ -110,7 +115,7 @@ class GATModel:
                 graph,
                 dropout_rate=drop,
                 rng=layer_rng,
-                impl=self.attn_impl,
+                impl=impl,
             )  # [N, heads, D]
             x = out.mean(axis=1)  # head-mean (PyG concat=False); identity for heads=1
             if self.use_bias:

@@ -33,6 +33,17 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> j
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments, indices_are_sorted=True)
 
 
+def resolve_attn_impl(impl: str) -> str:
+    """"auto" -> the fused Pallas path on TPU, the XLA golden elsewhere.
+
+    A TPU-first framework defaults to its TPU kernels on TPU; the XLA
+    implementation stays as the golden cross-check and the CPU/GPU fallback.
+    """
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def _pad_sentinel(x: jax.Array) -> jax.Array:
     """Append one zero row so sentinel node id == n_nodes is addressable."""
     pad_shape = (1,) + x.shape[1:]
@@ -58,7 +69,7 @@ def segment_softmax_attention(
 
     Returns [N, H, D].
     """
-    if impl == "pallas":
+    if resolve_attn_impl(impl) == "pallas":
         from plotpointe_tpu.ops.gat_kernel import segment_softmax_attention_pallas
 
         return segment_softmax_attention_pallas(h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng)

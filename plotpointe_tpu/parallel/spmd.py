@@ -56,9 +56,11 @@ def shard_graph_by_edges(graph: Graph, n_shards: int) -> Graph:
     )
 
 
-def _local_attention(h_pad, a_src, a_dst, src_l, dst_l, n_nodes, axis: str):
+def _local_attention(h_pad, a_src, a_dst, src_l, dst_l, n_nodes, axis: str, mask_l=None):
     """One GAT attention layer over a local edge shard; psum-combined.
-    h_pad: [N+1, H, D] replicated. Returns [N, H, D] replicated."""
+    h_pad: [N+1, H, D] replicated. mask_l: optional [E_loc, H] dropout mask
+    (1/keep-scaled, applied to alpha AFTER normalization — reference semantics,
+    `train_gat_custom.py:88-89`). Returns [N, H, D] replicated."""
     gs = jnp.einsum("nhd,hd->nh", h_pad, a_src)
     gd = jnp.einsum("nhd,hd->nh", h_pad, a_dst)
     e = gs[src_l] + gd[dst_l]
@@ -69,6 +71,8 @@ def _local_attention(h_pad, a_src, a_dst, src_l, dst_l, n_nodes, axis: str):
     denom_part = jax.ops.segment_sum(num, dst_l, num_segments=n_nodes + 1, indices_are_sorted=True)
     denom = jax.lax.psum(denom_part, axis)
     alpha = num / (denom[dst_l] + EPS)
+    if mask_l is not None:
+        alpha = alpha * mask_l
 
     msg = alpha[..., None] * h_pad[src_l]
     out_part = jax.ops.segment_sum(msg, dst_l, num_segments=n_nodes + 1, indices_are_sorted=True)
@@ -189,11 +193,13 @@ def make_sharded_gat_step(
     the big table runs shard-local. Item projection + attention parameters
     (a few hundred KB) stay replicated with all-reduced gradients.
 
-    step(params, item_feats, src, dst, u, i, j) -> (grads, loss)
+    step(params, item_feats, src, dst, masks, u, i, j) -> (grads, loss)
       params["user_emb"]: [Ru_pad, H] row-sharded over `axis`
       (pad rows — ids >= n_users — receive zero gradient);
       params["item_proj"], params["layers"]: replicated;
-      item_feats replicated; src/dst edge-sharded; u/i/j batch-sharded.
+      item_feats replicated; src/dst edge-sharded;
+      masks: [L, E_pad, H] per-layer attention-dropout masks, edge-sharded
+      (pass ones for eval / dropout 0); u/i/j batch-sharded.
       grads mirror the param shardings; loss replicated.
     """
     n_nodes = n_users + n_items
@@ -203,25 +209,26 @@ def make_sharded_gat_step(
     param_specs = {"user_emb": P(axis), "item_proj": P(), "layers": P()}
 
     @jax.jit
-    def step(params, item_feats, src, dst, u, i, j):
+    def step(params, item_feats, src, dst, masks, u, i, j):
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(param_specs, P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(param_specs, P(), P(axis), P(axis), P(None, axis), P(axis), P(axis), P(axis)),
             out_specs=(param_specs, P()),
         )
-        def inner(params, item_feats, src_l, dst_l, u_l, i_l, j_l):
+        def inner(params, item_feats, src_l, dst_l, masks_l, u_l, i_l, j_l):
             def local_loss(p):
                 ue = jax.lax.all_gather(p["user_emb"], axis, tiled=True)[:n_users]
                 v = item_feats @ p["item_proj"]["w"] + p["item_proj"]["b"]
                 x = jnp.concatenate([ue, v], axis=0)
-                for layer in p["layers"]:
+                for li, layer in enumerate(p["layers"]):
                     h = jnp.einsum("nf,fhd->nhd", x, layer["w"])
                     h_pad = jnp.concatenate(
                         [h, jnp.zeros((1,) + h.shape[1:], h.dtype)], axis=0
                     )
                     out = _local_attention(
-                        h_pad, layer["a_src"], layer["a_dst"], src_l, dst_l, n_nodes, axis
+                        h_pad, layer["a_src"], layer["a_dst"], src_l, dst_l, n_nodes, axis,
+                        mask_l=masks_l[li],
                     )
                     x = out.mean(axis=1)
                     if model.use_bias:
@@ -237,7 +244,7 @@ def make_sharded_gat_step(
             loss_l, grads_l = jax.value_and_grad(local_loss)(params)
             return grads_l, jax.lax.psum(loss_l, axis)
 
-        return inner(params, item_feats, src, dst, u, i, j)
+        return inner(params, item_feats, src, dst, masks, u, i, j)
 
     return step
 

@@ -1,0 +1,213 @@
+"""Multi-chip training harness: the Trainer protocol over a device mesh.
+
+Integrates the SPMD primitives (parallel/spmd.py: row-sharded user/item
+tables, edge-sharded attention/propagation, batch-sharded triples) into the
+full reference training protocol (epochs, per-epoch sampled eval,
+best-by-val-NDCG@20 checkpointing, mid-training resume) that
+`train/trainer.py::Trainer` drives on one chip. The reference has no analog —
+every reference trainer is one process on one GPU
+(`scripts/train_gat_pyg.py:242`, SURVEY.md section 2.3); this class is the
+framework's "distributed training the reference lacks".
+
+Design:
+  - params: big embedding tables row-sharded over the mesh's data axis
+    (GAT: the [n_users, H] table; LightGCN: both tables); small params
+    replicated. The optimizer state inherits the param shardings through jit,
+    so Adam moments for the tables are also 1/n per chip and the update runs
+    shard-local with zero collectives.
+  - one train step = sample triples (replicated, same order-statistic
+    sampler and PRNG stream as the single-device path) -> sharded
+    grad step (collectives ride ICI inside shard_map) -> sharded Adam.
+  - eval / checkpointing: tables are gathered (np.asarray on a sharded
+    array gathers) and pad rows stripped, then the exact single-device
+    evaluator runs — metrics are directly comparable with Trainer's.
+
+With attention dropout disabled, fit() is numerically equivalent to the
+single-device Trainer (same sampling keys, same loss/grad math up to float
+reassociation) — asserted by tests/test_sharded_trainer.py on the 8-device
+CPU mesh. With dropout on, the sharded path draws its own replicated-per-edge
+mask stream (shapes differ from the single-device stream once edges are
+re-padded to divide the mesh).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plotpointe_tpu.config import TrainConfig
+from plotpointe_tpu.data.splits import Splits
+from plotpointe_tpu.graphs.csr import Graph
+from plotpointe_tpu.parallel.mesh import make_mesh
+from plotpointe_tpu.parallel.sharded_table import device_put_row_sharded
+from plotpointe_tpu.parallel.spmd import (
+    make_sharded_gat_step,
+    make_sharded_lightgcn_step,
+    shard_graph_by_edges,
+)
+from plotpointe_tpu.train.sampling import _rank_to_item, _uniform_ranks, sample_bpr_triples
+from plotpointe_tpu.train.trainer import Trainer, TrainState
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ShardedTrainer(Trainer):
+    """Trainer over an n-device mesh. Same fit()/evaluate()/results contract."""
+
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        graph: Graph,
+        splits: Splits,
+        item_feats: Optional[np.ndarray] = None,
+        mesh: Optional[Mesh] = None,
+        max_pos_degree: int = 512,
+        axis: str = "data",
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.n_shards = int(self.mesh.shape[axis])
+        graph = shard_graph_by_edges(graph, self.n_shards)
+        super().__init__(model, cfg, graph, splits, item_feats=item_feats, max_pos_degree=max_pos_degree)
+
+        espec = NamedSharding(self.mesh, P(axis))
+        self._src = jax.device_put(self.graph.src, espec)
+        self._dst = jax.device_put(self.graph.dst, espec)
+        self._family = model.config_dict().get("model_family", "gat")
+
+        if self._family == "lightgcn":
+            self.norm_values = jax.device_put(self.norm_values, espec)
+            self._sh_step = make_sharded_lightgcn_step(
+                model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
+            )
+            self._train_u_dev = jnp.asarray(self.splits.train_u)
+            self._train_i_dev = jnp.asarray(self.splits.train_i)
+            pairs = cfg.batch_size * cfg.neg_per_pos
+            if pairs % self.n_shards:
+                raise ValueError(
+                    f"batch_size*neg_per_pos ({pairs}) must divide the mesh ({self.n_shards} shards)"
+                )
+        else:
+            self._sh_step = make_sharded_gat_step(
+                model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
+            )
+            self._samples = _round_up(cfg.samples_per_epoch, self.n_shards)
+            self._ones_masks = jnp.ones(
+                (model.n_layers, self.graph.n_padded, model.heads), jnp.float32
+            )
+
+    # -- param placement ------------------------------------------------------
+
+    def _shard_params(self, params):
+        out = dict(params)
+        out["user_emb"] = device_put_row_sharded(params["user_emb"], self.mesh, self.axis)
+        if self._family == "lightgcn":
+            out["item_emb"] = device_put_row_sharded(params["item_emb"], self.mesh, self.axis)
+        else:
+            rep = NamedSharding(self.mesh, P())
+            out["item_proj"] = jax.device_put(params["item_proj"], rep)
+            out["layers"] = jax.device_put(params["layers"], rep)
+        return out
+
+    def _init_state(self, k_init) -> TrainState:
+        params = self._shard_params(self.model.init(k_init))
+        opt_state = jax.jit(self.tx.init)(params)  # jit propagates param shardings
+        return TrainState(params=params, opt_state=opt_state, best_params=params)
+
+    def _host_params(self, params):
+        """Gather + strip table pad rows -> checkpoint-portable pytree."""
+        p = {k: jax.tree.map(np.asarray, v) for k, v in params.items()}
+        p["user_emb"] = p["user_emb"][: self.n_users]
+        if "item_emb" in p:
+            p["item_emb"] = p["item_emb"][: self.n_items]
+        return p
+
+    # -- sharded step plumbing -------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _apply_updates(self, params, opt_state, grads):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _dropout_masks(self, k_drop):
+        rate = getattr(self.model, "attn_dropout", 0.0)
+        if rate <= 0.0:
+            return self._ones_masks
+        shape = self._ones_masks.shape[1:]
+        masks = [
+            jnp.where(
+                jax.random.bernoulli(jax.random.fold_in(k_drop, li), 1.0 - rate, shape),
+                1.0 / (1.0 - rate),
+                0.0,
+            )
+            for li in range(self.model.n_layers)
+        ]
+        return jnp.stack(masks)
+
+    def _epoch(self, state: TrainState, k_epoch) -> float:
+        if self._family == "lightgcn":
+            return self._lightgcn_sharded_epoch(state, k_epoch)
+        tot = 0.0
+        for sstep in range(max(1, self.cfg.steps_per_epoch)):
+            # identical key derivation to Trainer._train_step for parity
+            k_sample, k_drop = jax.random.split(jax.random.fold_in(k_epoch, sstep))
+            u, i, j = sample_bpr_triples(
+                k_sample, self.train_users, self.user_pos_padded, self.user_deg,
+                self.n_items, self._samples,
+            )
+            masks = self._dropout_masks(k_drop)
+            grads, loss = self._sh_step(
+                state.params, self.item_feats, self._src, self._dst, masks, u, i, j
+            )
+            state.params, state.opt_state = self._apply_updates(state.params, state.opt_state, grads)
+            tot += float(loss)
+        return tot / max(1, self.cfg.steps_per_epoch)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _lightgcn_batch_triples(self, perm, s, key):
+        """Same batch/negative draw as Trainer._lightgcn_batch_step, flattened
+        to (u, i, j) pairs (identical loss: mean over bs*npp elements)."""
+        bs, npp = self.cfg.batch_size, self.cfg.neg_per_pos
+        idx = jax.lax.dynamic_slice_in_dim(perm, s * bs, bs)
+        u = self._train_u_dev[idx]
+        i = self._train_i_dev[idx]
+        pos_rows = self.user_pos_padded[u]
+        deg = self.user_deg[u]
+        r = _uniform_ranks(key, (bs, npp), (self.n_items - deg)[:, None] * jnp.ones((1, npp), jnp.int32))
+        j = _rank_to_item(r, pos_rows)
+        return jnp.repeat(u, npp), jnp.repeat(i, npp), j.reshape(-1)
+
+    def _lightgcn_sharded_epoch(self, state: TrainState, k_epoch) -> float:
+        t = len(self.splits.train_u)
+        bs = self.cfg.batch_size
+        n_steps = max(1, t // bs)
+        perm = jax.random.permutation(k_epoch, t)
+        if t < bs:  # tiny datasets: wrap around so the slice is full
+            perm = jnp.concatenate([perm] * ((bs + t - 1) // t))[:bs]
+            n_steps = 1
+        tot = 0.0
+        for s in range(n_steps):
+            u, i, j = self._lightgcn_batch_triples(perm, jnp.int32(s), jax.random.fold_in(k_epoch, s))
+            grads, loss = self._sh_step(
+                state.params, self.norm_values, self._src, self._dst, u, i, j
+            )
+            state.params, state.opt_state = self._apply_updates(state.params, state.opt_state, grads)
+            tot += float(loss)
+        return tot / n_steps
+
+    # -- eval / export: gather the tables, run the single-device path ----------
+
+    def evaluate(self, params, eval_u, eval_i, key):
+        return super().evaluate(self._host_params(params), eval_u, eval_i, key)
+
+    def export_item_embeddings(self, params) -> np.ndarray:
+        return super().export_item_embeddings(self._host_params(params))

@@ -93,9 +93,11 @@ class Trainer:
         item_feats: Optional[np.ndarray] = None,
         max_pos_degree: int = 512,
     ):
+        from plotpointe_tpu.ops.segment import resolve_attn_impl
+
         self.model = model
         self.cfg = cfg
-        if getattr(model, "attn_impl", "xla") == "pallas" and graph.layout is None:
+        if resolve_attn_impl(getattr(model, "attn_impl", "xla")) == "pallas" and graph.layout is None:
             graph = graph.with_layout()
         self.graph = graph.to_device()
         self.splits = splits
@@ -225,6 +227,32 @@ class Trainer:
             chunk=self.cfg.eval_chunk,
         )
 
+    # -- fit hooks (overridden by train.sharded.ShardedTrainer) --------------
+
+    def _init_state(self, k_init) -> "TrainState":
+        params = self.model.init(k_init)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state, best_params=params)
+
+    def _epoch(self, state: "TrainState", k_epoch) -> float:
+        if self.norm_values is not None:
+            # LightGCN: mini-batch BPR over all positives (reference protocol)
+            return self._run_lightgcn_epoch(state, k_epoch)
+        # reference protocol is steps_per_epoch=1 (one backward per epoch,
+        # train_gat_custom.py:341-363); >1 is a beyond-parity option that
+        # resamples fresh triples per step
+        tot = 0.0
+        for sstep in range(max(1, self.cfg.steps_per_epoch)):
+            state.params, state.opt_state, loss = self._train_step(
+                state.params, state.opt_state, jax.random.fold_in(k_epoch, sstep)
+            )
+            tot += float(loss)
+        return tot / max(1, self.cfg.steps_per_epoch)
+
+    def _host_params(self, params):
+        """Params as saved in checkpoints (sharded trainers gather + unpad)."""
+        return params
+
     # -- fit -----------------------------------------------------------------
 
     def fit(
@@ -237,9 +265,7 @@ class Trainer:
         key = key if key is not None else jax.random.key(cfg.seed)
         k_init, k_train, k_eval = jax.random.split(key, 3)
 
-        params = self.model.init(k_init)
-        opt_state = self.tx.init(params)
-        state = TrainState(params=params, opt_state=opt_state, best_params=params)
+        state = self._init_state(k_init)
         start_epoch = 1
 
         if resume_path is not None and Path(resume_path).exists():
@@ -264,20 +290,7 @@ class Trainer:
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             k_epoch = jax.random.fold_in(k_train, epoch)
-            if self.norm_values is not None:
-                # LightGCN: mini-batch BPR over all positives (reference protocol)
-                loss = self._run_lightgcn_epoch(state, k_epoch)
-            else:
-                # reference protocol is steps_per_epoch=1 (one backward per
-                # epoch, train_gat_custom.py:341-363); >1 is a beyond-parity
-                # option that resamples fresh triples per step
-                tot = 0.0
-                for sstep in range(max(1, cfg.steps_per_epoch)):
-                    state.params, state.opt_state, loss = self._train_step(
-                        state.params, state.opt_state, jax.random.fold_in(k_epoch, sstep)
-                    )
-                    tot += float(loss)
-                loss = tot / max(1, cfg.steps_per_epoch)
+            loss = self._epoch(state, k_epoch)
             step_time = time.perf_counter() - t0
 
             t1 = time.perf_counter()
@@ -297,7 +310,8 @@ class Trainer:
                 state.best_val_ndcg20 = ndcg20
                 state.best_params = state.params
                 if checkpoint_path:
-                    save_checkpoint(checkpoint_path, state.best_params, self.model.config_dict() | {"train_config": cfg.to_dict()})
+                    save_checkpoint(checkpoint_path, self._host_params(state.best_params),
+                                    self.model.config_dict() | {"train_config": cfg.to_dict()})
             state.epoch = epoch
             if resume_path is not None:
                 from plotpointe_tpu.train.checkpoint import save_resume_state

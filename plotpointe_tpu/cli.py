@@ -162,6 +162,7 @@ def _cmd_train(args):
         attn_impl=args.attn_impl,
         optimizer=args.optimizer,
         warmup_steps=args.warmup_steps,
+        mesh_shape=args.mesh,
     )
     results = train_from_artifacts(
         cfg,
@@ -433,13 +434,17 @@ def main(argv=None):
     p.add_argument("--eval-neg-k", type=int, default=1000)
     p.add_argument("--item-features", choices=["fused", "txt"], default="fused")
     p.add_argument("--loss", choices=["bpr", "bce"], default="bpr")
-    p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--attn-impl", choices=["auto", "xla", "pallas"], default="auto",
+                   help="auto = fused Pallas kernels on TPU, XLA golden path elsewhere")
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam",
                    help="adam = reference parity (coupled L2); adamw decouples decay for long schedules")
     p.add_argument("--warmup-steps", type=int, default=0, help="linear lr warmup (beyond-parity)")
     p.add_argument("--structured-logs", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="save resume state each epoch and continue from it if present (preemption-safe)")
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help='train over a device mesh, e.g. "data:8" (ShardedTrainer: '
+                        "row-sharded tables + edge-sharded message passing)")
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("gate", help="promotion gate")
@@ -485,7 +490,8 @@ def main(argv=None):
     p.add_argument("--samples-per-epoch", type=int, default=100_000)
     p.add_argument("--eval-neg-k", type=int, default=500)
     p.add_argument("--item-features", default="fused")
-    p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--attn-impl", choices=["auto", "xla", "pallas"], default="auto",
+                   help="auto = fused Pallas kernels on TPU, XLA golden path elsewhere")
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--only", default=None, help="comma-separated variant names")
@@ -505,7 +511,8 @@ def main(argv=None):
     p.add_argument("--samples-per-epoch", type=int, default=50_000)
     p.add_argument("--eval-neg-k", type=int, default=500)
     p.add_argument("--hidden-dim", type=int, default=64)
-    p.add_argument("--attn-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--attn-impl", choices=["auto", "xla", "pallas"], default="auto",
+                   help="auto = fused Pallas kernels on TPU, XLA golden path elsewhere")
     p.add_argument("--in-process", action="store_true",
                    help="run stages as function calls (one TPU attach) instead of subprocesses")
     p.set_defaults(fn=_cmd_pipeline)

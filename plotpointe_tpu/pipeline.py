@@ -72,7 +72,15 @@ def train_from_artifacts(
             )
 
     model = make_model(cfg, splits.n_users, splits.n_items, feats.shape[1] if feats is not None else 0)
-    trainer = Trainer(model, cfg, graph, splits, item_feats=feats)
+    if cfg.mesh_shape:
+        from plotpointe_tpu.parallel.mesh import make_mesh
+        from plotpointe_tpu.train.sharded import ShardedTrainer
+
+        trainer = ShardedTrainer(
+            model, cfg, graph, splits, item_feats=feats, mesh=make_mesh(cfg.mesh_shape)
+        )
+    else:
+        trainer = Trainer(model, cfg, graph, splits, item_feats=feats)
 
     run_id = cfg.run_id or f"{cfg.model_family}_d{cfg.hidden_dim}_{int(time.time())}"
     cfg.run_id = run_id

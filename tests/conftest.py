@@ -45,3 +45,10 @@ def tiny_dataset():
     from plotpointe_tpu.data.synthetic import synthetic_interactions
 
     return synthetic_interactions(n_users=300, n_items=200, n_interactions=4000, seed=7)
+
+
+@pytest.fixture(scope="session")
+def mesh8(devices8):
+    from plotpointe_tpu.parallel.mesh import make_mesh
+
+    return make_mesh({"data": 8}, devices=devices8)

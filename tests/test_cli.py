@@ -72,3 +72,25 @@ def test_unknown_command_errors(capsys):
     with pytest.raises(SystemExit) as e:
         cli.main(["frobnicate"])
     assert e.value.code == 2
+
+
+def test_train_mesh_flag(tmp_path, capsys):
+    """`train --mesh data:8` routes through ShardedTrainer (pipeline wiring)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    _run(["synth", "--out", f"{tmp_path}/s", "--users", "40", "--items", "30",
+          "--interactions", "500"], capsys)
+    _run(["embed-text", "--staging-prefix", f"{tmp_path}/s",
+          "--output-prefix", f"{tmp_path}/e"], capsys)
+    _run(["build-subset", "--staging-prefix", f"{tmp_path}/s",
+          "--features", f"{tmp_path}/e/txt.npy",
+          "--output-prefix", f"{tmp_path}/e", "--feature-name", "txt"], capsys)
+    out = _run(["train", "--staging-prefix", f"{tmp_path}/s",
+                "--embeddings-prefix", f"{tmp_path}/e", "--models-prefix", f"{tmp_path}/m",
+                "--item-features", "txt", "--hidden-dim", "16", "--epochs", "2",
+                "--samples-per-epoch", "64", "--eval-neg-k", "16",
+                "--mesh", "data:8"], capsys)
+    res = json.loads(out[out.index("{"):])
+    assert np.isfinite(res["best_val_ndcg@20"]) and "ndcg@20" in res["test"]

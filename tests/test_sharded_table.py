@@ -144,8 +144,9 @@ def test_sharded_gat_step_matches_single(mesh8, rng):
     sharded_params = dict(params)
     sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh8)
     step = make_sharded_gat_step(model, "bpr", mesh8, n_users, n_items)
+    masks = jnp.ones((model.n_layers, g.n_padded, model.heads), jnp.float32)
     grads, loss = step(
-        sharded_params, feats, jnp.asarray(g.src), jnp.asarray(g.dst), u, i, j
+        sharded_params, feats, jnp.asarray(g.src), jnp.asarray(g.dst), masks, u, i, j
     )
 
     gd = g.to_device()

@@ -80,7 +80,8 @@ def _cmd_embed_text(args):
 
     store = ArtifactStore()
     items = store.load_parquet(f"{args.staging_prefix}/items.parquet")
-    _, meta = embed_text_stage(items, args.output_prefix, store=store, batch_size=args.batch_size)
+    _, meta = embed_text_stage(items, args.output_prefix, store=store, batch_size=args.batch_size,
+                               weights=args.weights, vocab=args.vocab)
     print(json.dumps(meta, indent=2))
 
 
@@ -99,8 +100,17 @@ def _cmd_embed_image(args):
         chunk_id=args.chunk_id,
         max_items=args.max_items,
         seed=args.seed,
+        pixels=args.pixels or None,
+        weights=args.weights,
     )
     print(json.dumps(meta, indent=2))
+
+
+def _cmd_convert_weights(args):
+    from plotpointe_tpu.tools.convert_weights import convert
+
+    cfg = convert(args.family, args.src, args.out, max_len=args.max_len)
+    print(json.dumps({"out": args.out, **cfg}))
 
 
 def _cmd_merge_images(args):
@@ -387,6 +397,8 @@ def main(argv=None):
     p.add_argument("--staging-prefix", required=True)
     p.add_argument("--output-prefix", required=True)
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--weights", default=None, help="converted MiniLM npz (tools/convert_weights.py)")
+    p.add_argument("--vocab", default=None, help="WordPiece vocab.txt for the real-weight path")
     p.set_defaults(fn=_cmd_embed_text)
 
     p = sub.add_parser("embed-image", help="image embeddings (img.npy), chunk-shardable")
@@ -397,7 +409,17 @@ def main(argv=None):
     p.add_argument("--chunk-id", type=int, default=None)
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--pixels", action="store_true",
+                   help="decode local image files (CLIP preprocessing + ViT encode)")
+    p.add_argument("--weights", default=None, help="converted CLIP-vision npz")
     p.set_defaults(fn=_cmd_embed_image)
+
+    p = sub.add_parser("convert-weights", help="HF checkpoint dir -> encoder npz (offline)")
+    p.add_argument("--family", choices=["minilm", "clip-vision"], required=True)
+    p.add_argument("--src", required=True, help="local HF model directory")
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-len", type=int, default=256)
+    p.set_defaults(fn=_cmd_convert_weights)
 
     p = sub.add_parser("merge-images", help="merge image embedding chunks")
     p.add_argument("--output-prefix", required=True)

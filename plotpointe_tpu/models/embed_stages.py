@@ -40,17 +40,54 @@ def compose_item_text(items) -> list:
     return texts
 
 
+def make_minilm_encoder(weights: str, vocab: str, batch_size: int = 128) -> Callable:
+    """Converted-MiniLM text encoder: WordPiece tokenize -> jit'd transformer.
+
+    Batches are padded to `batch_size` so every chunk reuses one compiled
+    program (static shapes — XLA compiles once, MXU runs bf16-free f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.models.encoders import TransformerTextEncoder, load_params_npz
+    from plotpointe_tpu.models.tokenizer import WordPieceTokenizer
+
+    enc = TransformerTextEncoder()
+    params = load_params_npz(weights, enc.init(jax.random.key(0)))
+    tok = WordPieceTokenizer(vocab)
+    apply = jax.jit(enc.apply)
+
+    def encode(texts: list) -> np.ndarray:
+        ids, mask = tok.encode(texts, max_len=enc.max_len)
+        pad = batch_size - len(texts) if len(texts) < batch_size else 0
+        if pad:
+            ids = np.concatenate([ids, np.zeros((pad, enc.max_len), np.int32)])
+            mask = np.concatenate([mask, np.zeros((pad, enc.max_len), np.float32)])
+            mask[len(texts):, 0] = 1.0  # avoid all-masked rows (softmax NaN)
+        out = np.asarray(apply(params, jnp.asarray(ids), jnp.asarray(mask)), np.float32)
+        return out[: len(texts)]
+
+    return encode
+
+
 def embed_text_stage(
     items,
     out_prefix: str,
     encoder: Optional[Callable[[list], np.ndarray]] = None,
     store: Optional[ArtifactStore] = None,
     batch_size: int = 128,
+    weights: Optional[str] = None,
+    vocab: Optional[str] = None,
 ) -> Tuple[np.ndarray, Dict]:
-    """items.parquet -> txt.npy (rows in items order, L2-normalized) + txt_meta.json."""
+    """items.parquet -> txt.npy (rows in items order, L2-normalized) + txt_meta.json.
+
+    With `weights` (converted MiniLM npz) + `vocab` (WordPiece vocab.txt) the
+    stage reproduces the reference's real sentence-transformer embeddings
+    (embed_text.py:109-115); otherwise the deterministic hash encoder runs."""
     store = store or ArtifactStore()
     t0 = time.time()
     texts = compose_item_text(items)
+    if encoder is None and weights and vocab:
+        encoder = make_minilm_encoder(weights, vocab)
     if encoder is None:
         from plotpointe_tpu.models.encoders import hash_text_encoder
 
@@ -80,14 +117,22 @@ def embed_image_stage(
     chunk_id: Optional[int] = None,
     max_items: Optional[int] = None,
     seed: int = 42,
+    pixels: Optional[bool] = None,
+    weights: Optional[str] = None,
 ) -> Tuple[np.ndarray, Dict]:
     """items with image_url -> img{_chunk}.npy + img_items{_chunk}.parquet.
 
     Chunk-sharding semantics of embed_image.py:45-47,93-101 (index-range
-    slicing for multi-worker sharding; seeded sample cap). The encoder maps a
-    list of image-url strings to vectors — a real CLIP tower when weights are
-    available, the deterministic hash encoder otherwise (network fetch is not
-    assumed: zero-egress).
+    slicing for multi-worker sharding; seeded sample cap). Two encode paths:
+
+      - pixel path (pixels=True, or auto when image_url points at local
+        files): decode + CLIP-preprocess + batched ViT encode on device,
+        counting decode failures exactly like the reference counts download
+        failures (embed_image.py:122-136); failed rows are dropped from both
+        the embedding matrix and img_items, as the reference does. Pass
+        `weights` (tools/convert_weights.py output) for real CLIP features.
+      - url-hash path (zero-egress fallback for remote URLs without staged
+        files): deterministic hash encoder over the URL string.
     """
     store = store or ArtifactStore()
     t0 = time.time()
@@ -97,20 +142,33 @@ def embed_image_stage(
     elif max_items is not None and len(with_img) > max_items:
         with_img = with_img.sample(n=max_items, random_state=seed).reset_index(drop=True)
 
-    if encoder is None:
-        from plotpointe_tpu.models.encoders import hash_text_encoder
-
-        encoder = hash_text_encoder(dim=512)
     urls = [str(u) for u in with_img["image_url"]]
-    emb = encoder(urls).astype(np.float32) if urls else np.zeros((0, 512), np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
+    n_failures = 0
+    if pixels is None and encoder is None and urls:
+        from plotpointe_tpu.models.image_io import local_path
+
+        lp = local_path(urls[0])
+        pixels = lp is not None and lp.exists()
+
+    if pixels:
+        from plotpointe_tpu.models.image_io import encode_image_files
+
+        emb, ok, n_failures = encode_image_files(urls, weights=weights)
+        with_img = with_img[ok].reset_index(drop=True)
+    else:
+        if encoder is None:
+            from plotpointe_tpu.models.encoders import hash_text_encoder
+
+            encoder = hash_text_encoder(dim=512)
+        emb = encoder(urls).astype(np.float32) if urls else np.zeros((0, 512), np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
 
     sfx = f"_chunk{chunk_id}" if chunk_id is not None else ""
     dt = time.time() - t0
     meta = {
         "n_images": int(emb.shape[0]),
         "dims": int(emb.shape[1]) if emb.size else 0,
-        "failures": 0,
+        "failures": int(n_failures),
         "chunk_id": chunk_id,
         "build_time_sec": dt,
     }

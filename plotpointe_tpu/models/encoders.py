@@ -101,6 +101,16 @@ def _layer_norm(x, p, eps=1e-12):
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
 
 
+# Activation fidelity: converted real weights only reproduce the published
+# embeddings with the exact activation the checkpoint was trained with —
+# BERT/MiniLM uses erf-GELU, CLIP uses QuickGELU (x * sigmoid(1.702 x)).
+ACTIVATIONS: Dict[str, Callable] = {
+    "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+}
+
+
 def _init_block(key, hidden, ffn):
     ks = jax.random.split(key, 6)
     return {
@@ -113,10 +123,11 @@ def _init_block(key, hidden, ffn):
     }
 
 
-def _block_apply(p, x, mask, heads, pre_ln: bool):
+def _block_apply(p, x, mask, heads, pre_ln: bool, act: str = "gelu_tanh", ln_eps: float = 1e-12):
     """One transformer block. pre_ln=True -> ViT/CLIP style; False -> BERT style."""
     b, s, h = x.shape
     d = h // heads
+    act_fn = ACTIVATIONS[act]
 
     def attn(xin):
         qkv = xin @ p["qkv"]["w"] + p["qkv"]["b"]
@@ -133,15 +144,15 @@ def _block_apply(p, x, mask, heads, pre_ln: bool):
 
     def ffn(xin):
         y = xin @ p["ffn1"]["w"] + p["ffn1"]["b"]
-        y = jax.nn.gelu(y)
+        y = act_fn(y)
         return y @ p["ffn2"]["w"] + p["ffn2"]["b"]
 
     if pre_ln:
-        x = x + attn(_layer_norm(x, p["ln1"]))
-        x = x + ffn(_layer_norm(x, p["ln2"]))
+        x = x + attn(_layer_norm(x, p["ln1"], ln_eps))
+        x = x + ffn(_layer_norm(x, p["ln2"], ln_eps))
     else:
-        x = _layer_norm(x + attn(x), p["ln1"])
-        x = _layer_norm(x + ffn(x), p["ln2"])
+        x = _layer_norm(x + attn(x), p["ln1"], ln_eps)
+        x = _layer_norm(x + ffn(x), p["ln2"], ln_eps)
     return x
 
 
@@ -161,6 +172,8 @@ class TransformerTextEncoder:
     heads: int = 12
     ffn: int = 1536
     max_len: int = 256
+    act: str = "gelu_exact"  # BERT/MiniLM trains with erf-GELU
+    ln_eps: float = 1e-12
 
     def init(self, key) -> Dict[str, Any]:
         ks = jax.random.split(key, self.n_layers + 2)
@@ -175,9 +188,10 @@ class TransformerTextEncoder:
         """token_ids, mask: [B, S] -> [B, hidden] mean-pooled, L2-normalized."""
         s = token_ids.shape[1]
         x = params["tok_emb"][token_ids] + params["pos_emb"][:s]
-        x = _layer_norm(x, params["ln_emb"])
+        x = _layer_norm(x, params["ln_emb"], self.ln_eps)
         for blk in params["blocks"]:
-            x = _block_apply(blk, x, mask.astype(bool), self.heads, pre_ln=False)
+            x = _block_apply(blk, x, mask.astype(bool), self.heads, pre_ln=False,
+                             act=self.act, ln_eps=self.ln_eps)
         m = mask[..., None].astype(x.dtype)
         pooled = (x * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
         return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-12)
@@ -213,6 +227,8 @@ class ViTImageEncoder:
     heads: int = 12
     ffn: int = 3072
     out_dim: int = 512
+    act: str = "quick_gelu"  # CLIP trains with QuickGELU
+    ln_eps: float = 1e-5
 
     @property
     def n_patches(self) -> int:
@@ -240,10 +256,11 @@ class ViTImageEncoder:
         x = x @ params["patch_proj"]["w"] + params["patch_proj"]["b"]
         cls = jnp.broadcast_to(params["cls"], (b, 1, self.hidden))
         x = jnp.concatenate([cls, x], axis=1) + params["pos_emb"]
-        x = _layer_norm(x, params["ln_pre"])
+        x = _layer_norm(x, params["ln_pre"], self.ln_eps)
         for blk in params["blocks"]:
-            x = _block_apply(blk, x, None, self.heads, pre_ln=True)
-        pooled = _layer_norm(x[:, 0], params["ln_post"])
+            x = _block_apply(blk, x, None, self.heads, pre_ln=True,
+                             act=self.act, ln_eps=self.ln_eps)
+        pooled = _layer_norm(x[:, 0], params["ln_post"], self.ln_eps)
         out = pooled @ params["proj"]["w"] + params["proj"]["b"]
         return out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
 

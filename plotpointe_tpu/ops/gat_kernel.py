@@ -237,20 +237,32 @@ def segment_softmax_attention_pallas(
 ) -> jax.Array:
     """Same contract as ops.segment.segment_softmax_attention (impl='xla');
     forward aggregation runs through the fused Pallas kernels. Dispatch:
-    heads == 1 with an aligned layout -> v3 (fully fused fwd+bwd,
-    ops/gat_fused.py); heads == 1 with only v1/v2 tiling -> v2 (fused fwd,
-    XLA bwd); otherwise -> v1 (fused reduction only)."""
+    aligned layout with d % 128 == 0 -> v3 (fully fused fwd+bwd,
+    ops/gat_fused.py; heads > 1 run one independent fused pass per head —
+    heads are embarrassingly parallel in GAT, so H kernel launches keep full
+    MXU tiles with zero cross-head traffic, covering the reference's --heads
+    flag, train_gat_pyg.py:203); heads == 1 with only v1/v2 tiling -> v2
+    (fused fwd, XLA bwd); otherwise -> v1 (fused reduction only)."""
     n, heads, d = h.shape
 
-    if heads == 1 and d % 128 == 0 and graph.layout is not None:
+    if d % 128 == 0 and graph.layout is not None:
         from plotpointe_tpu.ops.gat_fused import attention_v3
 
-        return attention_v3(h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng)
+        if heads == 1:
+            return attention_v3(h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng)
+        outs = [
+            attention_v3(
+                h[:, hi : hi + 1, :], a_src[hi : hi + 1], a_dst[hi : hi + 1], graph,
+                dropout_rate=dropout_rate,
+                rng=jax.random.fold_in(rng, hi) if rng is not None else None,
+            )
+            for hi in range(heads)
+        ]
+        return jnp.concatenate(outs, axis=1)
     if graph.chunk_base is None:
         if graph.layout is not None:
-            # layout-only graph but a config v3 can't serve (heads > 1 or
-            # d % 128 != 0): fall back to the XLA reference rather than
-            # demanding the v1/v2 tiling too
+            # layout-only graph but d % 128 != 0: fall back to the XLA
+            # reference rather than demanding the v1/v2 tiling too
             return _seg.segment_softmax_attention(
                 h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng, impl="xla"
             )

@@ -97,3 +97,31 @@ def test_gat_model_head_mean_parity(rng, tiny_dataset):
         per_head.append(o[:, 0, :])
     want = (per_head[0] + per_head[1]) / 2
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_gat_model_head_mean_parity_pallas(rng, tiny_dataset):
+    """Same head-mean parity but through the Pallas dispatch (layout graph,
+    attn_impl='pallas', hidden % 128 == 0) vs the XLA golden model."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.models.gat import GATModel
+
+    df = tiny_dataset
+    u2i, i2i = build_node_maps(df)
+    s = build_splits(df, u2i, i2i)
+    g = build_bipartite_graph(
+        s.train_u, s.train_i, s.n_users, s.n_items, pad_multiple=256
+    ).with_layout().to_device()
+    feats = jnp.asarray(rng.normal(size=(s.n_items, 12)).astype("float32"))
+
+    kw = dict(n_users=s.n_users, n_items=s.n_items, feat_dim=12, hidden_dim=128,
+              n_layers=1, heads=2, attn_dropout=0.0)
+    m_pallas = GATModel(**kw, attn_impl="pallas")
+    m_xla = GATModel(**kw, attn_impl="xla")
+    params = m_pallas.init(jax.random.key(0))
+
+    got = np.asarray(m_pallas.apply(params, feats, g))
+    want = np.asarray(m_xla.apply(params, feats, g))
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999  # bf16 kernel path
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=6e-2)

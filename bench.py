@@ -46,11 +46,12 @@ def _roofline(name: str, seconds: float, flops: float, bytes_accessed: float,
     }
 
 
-def _bench_knn(n=63_001, d=384, k=20, block_rows=1024):
+def _bench_knn(n=63_001, d=384, k=20, impl="pallas", block_rows=1024):
     import jax
     import jax.numpy as jnp
 
     from plotpointe_tpu.graphs.knn import _knn_blocks, cosine_knn
+    from plotpointe_tpu.ops.knn_kernel import knn_topk_pallas
 
     rng = np.random.default_rng(0)
     x = rng.normal(size=(n, d)).astype(np.float32)
@@ -60,24 +61,34 @@ def _bench_knn(n=63_001, d=384, k=20, block_rows=1024):
     # is a tunnel artifact, not part of the kernel being measured
     xd = jnp.asarray(x)
 
-    # warmup/compile (full shape so the block program is cached)
-    cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows)
+    # warmup/compile (full shape so the block program is cached). Default is
+    # the fused streaming Pallas kernel: ~15 s compile vs ~8 min for the
+    # XLA lax.map+hierarchical-top_k program at this shape.
+    cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows, impl=impl)
     t0 = time.perf_counter()
-    idx, sim, valid = cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows)
+    idx, sim, valid = cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows, impl=impl)
     dt = time.perf_counter() - t0
 
     # device-only portion (excludes the [N,k] result readback, which on this
     # environment crosses a ~30 MB/s tunnel relay; real hosts pay PCIe rates)
-    n_pad = ((n + block_rows - 1) // block_rows) * block_rows
-    xp = jnp.concatenate([xd, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
-    jax.block_until_ready(_knn_blocks(xp, k, block_rows))  # warmup/compile
-    t0 = time.perf_counter()
-    didx, dsim = _knn_blocks(xp, k, block_rows)
-    float(dsim[0, 0])  # host read, not block_until_ready (see _bench_gat_train)
-    dev_dt = time.perf_counter() - t0
+    if impl == "pallas":
+        jax.block_until_ready(knn_topk_pallas(xd, k))
+        t0 = time.perf_counter()
+        didx, dsim = knn_topk_pallas(xd, k)
+        float(dsim[0, 0])  # host read, not block_until_ready (see _bench_gat_train)
+        dev_dt = time.perf_counter() - t0
+        n_pad = ((n + 2048 - 1) // 2048) * 2048
+    else:
+        n_pad = ((n + block_rows - 1) // block_rows) * block_rows
+        xp = jnp.concatenate([xd, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
+        jax.block_until_ready(_knn_blocks(xp, k, block_rows))  # warmup/compile
+        t0 = time.perf_counter()
+        didx, dsim = _knn_blocks(xp, k, block_rows)
+        float(dsim[0, 0])
+        dev_dt = time.perf_counter() - t0
 
     # roofline: the dominant op is the [n_pad, d] x [d, n_pad] similarity
-    # matmul at Precision.HIGH (bf16x3 ~ f32-class MXU rate)
+    # matmul at f32-faithful MXU precision
     mfu = _roofline("knn", dev_dt, flops=2.0 * n_pad * n_pad * d,
                     bytes_accessed=2.0 * n_pad * d * 4, dtype_key="f32_tflops")
     return dt, dev_dt, mfu
@@ -286,27 +297,33 @@ def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
 def main():
     import jax
 
+    try:  # persistent compile cache: repeat driver runs skip XLA compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/plotpointe_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
     device = str(jax.devices()[0])
     result = {}
 
     # -- headline: kNN build, with retries + reduced-config fallback ---------
     knn_ok = False
     knn_errors = []
-    for attempt, br in enumerate((1024, 1024, 512)):
+    for impl, br in (("pallas", 1024), ("pallas", 1024), ("xla", 512)):
         try:
-            knn_s, knn_dev_s, knn_mfu = _bench_knn(block_rows=br)
+            knn_s, knn_dev_s, knn_mfu = _bench_knn(impl=impl, block_rows=br)
             result["metric"] = "ii_knn_63001x384_k20_build_time"
             result["value"] = round(knn_s, 4)
             result["unit"] = "s"
             baseline_s = 100.40  # PHASE0_REPORT.md:180-183, n1-highmem-8
             result["vs_baseline"] = round(baseline_s / knn_s, 2)
             result["knn_device_only_s"] = round(knn_dev_s, 4)
-            result["knn_block_rows"] = br
+            result["knn_impl"] = impl
             result.update(knn_mfu)
             knn_ok = True
             break
         except Exception as e:  # noqa: BLE001
-            knn_errors.append(f"block_rows={br}: {_err(e)}")
+            knn_errors.append(f"{impl}: {_err(e)}")
     if not knn_ok:
         result["knn_errors"] = knn_errors[:3]
 

@@ -5,8 +5,10 @@ batched dense cosine_similarity + argpartition, 100s for 63k x 384d) with an
 XLA/MXU formulation: L2-normalize once, then per row-block compute
 sims = X_block @ X^T on the MXU and take top-(k+1) per row with lax.top_k,
 excluding self-similarity, thresholding at min_similarity — never
-materializing the full N^2 matrix. A Pallas fused variant lives in
-plotpointe_tpu.ops.knn_kernel; this module is the orchestration + artifact
+materializing the full N^2 matrix. The fully fused Pallas variant
+(plotpointe_tpu.ops.knn_kernel.knn_topk_pallas: streaming running-top-k, the
+[BR, N] score strip never leaves VMEM) is the default on TPU via
+`cosine_knn(..., impl="auto")`; this module is the orchestration + artifact
 contract (ii_edges_*.npz + *_stats.json).
 """
 from __future__ import annotations
@@ -77,20 +79,32 @@ def cosine_knn(
     min_similarity: float = 0.3,
     block_rows: int = 512,
     normalize: bool = True,
+    impl: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k cosine neighbours per row. Returns (idx [N,k], sim [N,k],
     valid [N,k] bool where sim >= min_similarity). Padding rows (to block
-    multiple) are handled internally and never appear as neighbours."""
+    multiple) are handled internally and never appear as neighbours.
+
+    impl: "pallas" (streaming fused kernel, ops/knn_kernel.py), "xla"
+    (blocked matmul + hierarchical top_k), or "auto" (pallas on TPU)."""
     x = jnp.asarray(features, dtype=jnp.float32)
     n, d = x.shape
     if normalize:
         x = l2_normalize(x)
-    n_pad = ((n + block_rows - 1) // block_rows) * block_rows
-    if n_pad != n:
-        # pad rows are zero vectors: similarity 0 < min threshold, filtered below
-        x = jnp.concatenate([x, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
-    idx, sim = _knn_blocks(x, k, block_rows)
-    idx, sim = np.asarray(idx[:n]), np.asarray(sim[:n])
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from plotpointe_tpu.ops.knn_kernel import knn_topk_pallas
+
+        idx, sim = knn_topk_pallas(x, k)
+        idx, sim = np.asarray(idx), np.asarray(sim)
+    else:
+        n_pad = ((n + block_rows - 1) // block_rows) * block_rows
+        if n_pad != n:
+            # pad rows are zero vectors: similarity 0 < min threshold, filtered below
+            x = jnp.concatenate([x, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
+        idx, sim = _knn_blocks(x, k, block_rows)
+        idx, sim = np.asarray(idx[:n]), np.asarray(sim[:n])
     valid = (sim >= min_similarity) & (idx < n)
     return idx, sim, valid
 

@@ -87,9 +87,10 @@ def _fwd_kernel(nb: int, eb: int, d: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks"))
-def _fwd_call(hs, h_tiles, dst2, mask2, a_src, a_dst, tile_of, is_last, nb, eb, n_tiles, n_chunks):
+@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "vma"))
+def _fwd_call(hs, h_tiles, dst2, mask2, a_src, a_dst, tile_of, is_last, nb, eb, n_tiles, n_chunks, vma=()):
     d = hs.shape[1]
+    _vma = frozenset(vma) if vma else None
     sub = eb // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -114,8 +115,8 @@ def _fwd_call(hs, h_tiles, dst2, mask2, a_src, a_dst, tile_of, is_last, nb, eb, 
         _fwd_kernel(nb, eb, d),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * nb, d), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, nb), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * nb, d), jnp.float32, vma=_vma),
+            jax.ShapeDtypeStruct((n_tiles * 8, nb), jnp.float32, vma=_vma),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -193,10 +194,11 @@ def _bwd_kernel(nb: int, eb: int, d: int, out_dtype):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "dhs_dtype"))
+@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "dhs_dtype", "vma"))
 def _bwd_call(hs, h_tiles, dst2, mask2, a_src, a_dst, g_tiles, out_tiles, den,
-              tile_of, is_last, nb, eb, n_tiles, n_chunks, dhs_dtype):
+              tile_of, is_last, nb, eb, n_tiles, n_chunks, dhs_dtype, vma=()):
     d = hs.shape[1]
+    _vma = frozenset(vma) if vma else None
     sub = eb // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -223,9 +225,9 @@ def _bwd_call(hs, h_tiles, dst2, mask2, a_src, a_dst, g_tiles, out_tiles, den,
         _bwd_kernel(nb, eb, d, dhs_dtype),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * eb, d), dhs_dtype),
-            jax.ShapeDtypeStruct((n_tiles * 8, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * eb, d), dhs_dtype, vma=_vma),
+            jax.ShapeDtypeStruct((n_tiles * 8, nb), jnp.float32, vma=_vma),
+            jax.ShapeDtypeStruct((n_tiles * 8, d), jnp.float32, vma=_vma),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -261,9 +263,10 @@ def _reduce_kernel(nb: int, eb: int, d: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks"))
-def _reduce_call(x, dst2, tile_of, is_last, nb, eb, n_tiles, n_chunks):
+@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "vma"))
+def _reduce_call(x, dst2, tile_of, is_last, nb, eb, n_tiles, n_chunks, vma=()):
     d = x.shape[1]
+    _vma = frozenset(vma) if vma else None
     sub = eb // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -278,7 +281,7 @@ def _reduce_call(x, dst2, tile_of, is_last, nb, eb, n_tiles, n_chunks):
     return pl.pallas_call(
         _reduce_kernel(nb, eb, d),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, d), jnp.float32, vma=_vma),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -302,9 +305,14 @@ def attention_v3(
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     hs_dtype=jnp.bfloat16,
+    vma: tuple = (),
 ) -> jax.Array:
     """Single-head fused attention layer over the aligned layout. The dropout
-    mask is drawn over aligned edge positions (self-consistent fwd/bwd)."""
+    mask is drawn over aligned edge positions (self-consistent fwd/bwd).
+
+    vma: mesh axes this call varies over, for use inside shard_map with
+    check_vma (the device-local tile-shard path, parallel/spmd.py); inputs
+    must already be pvary'd to the same axes."""
     L = graph.layout
     if L is None:
         raise ValueError("graph needs the aligned layout: call graph.with_layout() before to_device()")
@@ -320,8 +328,12 @@ def attention_v3(
     def make_mask():
         if dropout_rate > 0.0 and rng is not None:
             keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, (e_al,))
-            return jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
-        return jnp.ones((e_al,), jnp.float32)
+            m = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+        else:
+            m = jnp.ones((e_al,), jnp.float32)
+        # under shard_map check_vma, every kernel operand must carry the same
+        # varying-axes set; constants (the no-dropout mask) start unvarying
+        return jax.lax.pvary(m, vma) if vma else m
 
     def prep(h):
         h2 = h[:, 0, :]
@@ -335,7 +347,7 @@ def attention_v3(
         hs, h_tiles = prep(h)
         mask2 = make_mask().reshape(e_al // 128, 128)
         out, den = _fwd_call(hs, h_tiles, dst2, mask2, a_src, a_dst, L.tile_of, L.is_last,
-                             nb, eb, n_tiles, n_chunks)
+                             nb, eb, n_tiles, n_chunks, vma=vma)
         return out, den, hs, h_tiles
 
     @jax.custom_vjp
@@ -356,14 +368,14 @@ def attention_v3(
 
         dhs, de_sum8, da_src_part8 = _bwd_call(
             hs, h_tiles, dst2, mask2, a_src_r, a_dst_r, g_tiles, out_tiles, den,
-            L.tile_of, L.is_last, nb, eb, n_tiles, n_chunks, hs_dtype,
+            L.tile_of, L.is_last, nb, eb, n_tiles, n_chunks, hs_dtype, vma=vma,
         )
         de_sum = de_sum8.reshape(n_tiles, 8, nb)[:, 0, :]
         da_src_part = da_src_part8.reshape(n_tiles, 8, d)[:, 0, :]
         # transpose reduce: dh[s] = sum over edges with src s of dhs_e
         dhs_pad = jnp.concatenate([dhs, jnp.zeros((1, d), dhs.dtype)], axis=0)
         dhs_t = dhs_pad[L.t_perm]  # [E_al_t, D] permutation gather
-        dh_nodes = _reduce_call(dhs_t, tdst2, L.t_tile_of, L.t_is_last, nb, eb, n_tiles, n_chunks_t)
+        dh_nodes = _reduce_call(dhs_t, tdst2, L.t_tile_of, L.t_is_last, nb, eb, n_tiles, n_chunks_t, vma=vma)
 
         de_sum_nodes = de_sum.reshape(n_tiles * nb)[: n]
         dh = dh_nodes[:n] + de_sum_nodes[:, None] * a_dst_r[0][None, :]

@@ -32,7 +32,9 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from plotpointe_tpu.graphs.csr import Graph
+import dataclasses
+
+from plotpointe_tpu.graphs.csr import AttentionLayout, Graph, build_graph
 from plotpointe_tpu.ops.segment import EPS, LEAKY_SLOPE, LOGIT_CLAMP
 from plotpointe_tpu.train.losses import LOSSES
 
@@ -103,6 +105,199 @@ def sharded_attention(
         return _local_attention(h_pad, a_s, a_d, src_l, dst_l, n, axis)
 
     return f(h, a_src, a_dst, jnp.asarray(graph.src), jnp.asarray(graph.dst))
+
+
+def shard_layout_by_tiles(graph: Graph, n_shards: int, nb: int = 256, eb: int = 1024) -> AttentionLayout:
+    """Partition the graph's destination-node tiles into `n_shards` contiguous
+    ranges (balanced by real edge count) and build one tile-aligned
+    AttentionLayout per shard, padded to common sizes and stacked on a leading
+    device axis. Shard `P('data')` on every leaf and feed to the fused
+    sharded attention.
+
+    Why tile ownership: every aligned chunk belongs to exactly one destination
+    tile (csr.py AttentionLayout invariant), so a device owning a tile owns
+    ALL of that destination's incoming edges — its in-kernel softmax
+    denominators are already complete and per-device outputs combine with one
+    psum, no cross-device denominator exchange. Destinations outside the
+    shard produce exact zero rows (their tiles hold only sentinel-padding
+    edges), so the psum is a pure overlay."""
+    real_src = np.asarray(graph.src)[: graph.n_edges].astype(np.int64)
+    real_dst = np.asarray(graph.dst)[: graph.n_edges].astype(np.int64)
+    n = graph.n_nodes
+    n_tiles = (n + 1 + nb - 1) // nb
+
+    tile_of_edge = np.minimum(real_dst // nb, n_tiles - 1)
+    counts = np.bincount(tile_of_edge, minlength=n_tiles)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    targets = (np.arange(1, n_shards) * (graph.n_edges / n_shards))
+    bounds = np.concatenate([[0], np.searchsorted(cum, targets), [n_tiles]])
+    bounds = np.maximum.accumulate(bounds).astype(np.int64)
+
+    layouts = []
+    for dv in range(n_shards):
+        lo, hi = int(bounds[dv]), int(bounds[dv + 1])
+        m = (tile_of_edge >= lo) & (tile_of_edge < hi)
+        gl = build_graph(real_src[m], real_dst[m], n, pad_multiple=eb)
+        layouts.append(gl.with_layout(nb=nb, eb=eb).layout)
+
+    n_chunks = max(l.n_chunks for l in layouts)
+    n_chunks_t = max(l.n_chunks_t for l in layouts)
+    e_al, e_al_t = n_chunks * eb, n_chunks_t * eb
+
+    def pad_stack(field, length, fill):
+        rows = []
+        for l in layouts:
+            a = np.asarray(getattr(l, field))
+            rows.append(np.concatenate([a, np.full(length - len(a), fill, a.dtype)]))
+        return np.stack(rows)
+
+    # appended pad chunks extend the SENTINEL tile (always the last tile in
+    # every shard's chunk list, so tile order stays monotone); their edges are
+    # sentinel padding (src=dst=n -> zero feature rows, onehot-miss in every
+    # non-sentinel tile) and is_last=0 keeps the already-written output block
+    # untouched. t_perm padding points past the forward edge list (the zero
+    # gradient row).
+    return AttentionLayout(
+        src=pad_stack("src", e_al, n),
+        dst=pad_stack("dst", e_al, n),
+        pos=pad_stack("pos", e_al, graph.n_edges),
+        tile_of=pad_stack("tile_of", n_chunks, n_tiles - 1),
+        is_last=pad_stack("is_last", n_chunks, 0),
+        t_dst=pad_stack("t_dst", e_al_t, n),
+        t_perm=pad_stack("t_perm", e_al_t, e_al),
+        t_tile_of=pad_stack("t_tile_of", n_chunks_t, n_tiles - 1),
+        t_is_last=pad_stack("t_is_last", n_chunks_t, 0),
+        nb=nb,
+        eb=eb,
+        n_tiles=int(n_tiles),
+    )
+
+
+def _local_graph(stacked: AttentionLayout, leaves, n_nodes: int, n_edges: int) -> Graph:
+    """Materialize a shard-local Graph around the device-local layout leaves
+    ([1, ...] blocks from shard_map; attention_v3 reads only .layout/.n_nodes)."""
+    names = ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last")
+    lay = dataclasses.replace(stacked, **{k: v[0] for k, v in zip(names, leaves)})
+    one = np.zeros(1, np.int32)
+    return Graph(src=one, dst=one, weight=np.zeros(1, np.float32), row_ptr=np.zeros(2, np.int32),
+                 n_nodes=n_nodes, n_edges=n_edges, layout=lay)
+
+
+def _layout_leaves(stacked: AttentionLayout):
+    return tuple(getattr(stacked, k) for k in
+                 ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last"))
+
+
+def sharded_attention_fused(
+    mesh: Mesh,
+    h: jax.Array,  # [N, 1, D] replicated
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    graph: Graph,
+    stacked: AttentionLayout,
+    axis: str = "data",
+) -> jax.Array:
+    """Edge-parallel fused-Pallas attention: each device runs attention_v3
+    over its tile shard (complete in-shard softmax), outputs overlay via one
+    psum. Forward primitive; the VJP shards the same way (attention_v3's
+    custom backward runs per device, shard_map psums the replicated-h grads)."""
+    n, n_e = graph.n_nodes, graph.n_edges
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()) + (P(axis),) * 9,
+        out_specs=P(),
+    )
+    def f(h, a_s, a_d, *leaves):
+        from plotpointe_tpu.ops.gat_fused import attention_v3
+
+        g_l = _local_graph(stacked, leaves, n, n_e)
+        h, a_s, a_d = (jax.lax.pvary(t, (axis,)) for t in (h, a_s, a_d))
+        return jax.lax.psum(attention_v3(h, a_s, a_d, g_l, vma=(axis,)), axis)
+
+    return f(h, a_src, a_dst, *_layout_leaves(stacked))
+
+
+def make_sharded_gat_step_fused(
+    model,
+    loss_name: str,
+    mesh: Mesh,
+    n_users: int,
+    n_items: int,
+    stacked: AttentionLayout,
+    axis: str = "data",
+    dropout_rate: float = 0.0,
+) -> Callable:
+    """Fully sharded GAT training step on the fused Pallas kernels: the
+    multi-chip counterpart of the single-chip flagship path (attn_impl=
+    "pallas"), same sharding contract as make_sharded_gat_step — row-sharded
+    user table, tile/edge-sharded attention, batch-sharded BPR triples —
+    but every attention layer (forward and backward) runs ops/gat_fused
+    attention_v3 on the device-local tile shard instead of XLA segment_sum.
+
+    step(params, item_feats, rng, u, i, j) -> (grads, loss); heads must be 1
+    (the fused flagship config). Dropout masks are drawn in-kernel per device
+    from fold_in(rng, layer, device)."""
+    n_nodes = n_users + n_items
+    n_shards = int(mesh.shape[axis])
+    loss_fn_elem = LOSSES[loss_name]
+
+    param_specs = {"user_emb": P(axis), "item_proj": P(), "layers": P()}
+    # pre-place the stacked layout on the mesh ONCE; the jitted step takes the
+    # leaves as ARGUMENTS (closure constants exceed remote-compile payload
+    # limits at Amazon scale — see the same pattern in models/fusion.py)
+    lay_sharding = jax.sharding.NamedSharding(mesh, P(axis))
+    leaves_dev = tuple(jax.device_put(jnp.asarray(a), lay_sharding) for a in _layout_leaves(stacked))
+    graph_n_edges = 0  # attention_v3 reads only layout/n_nodes; n_edges is metadata
+
+    @jax.jit
+    def _step(params, item_feats, rng, u, i, j, *leaves):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(param_specs, P(), P()) + (P(axis),) * 9 + (P(axis),) * 3,
+            out_specs=(param_specs, P()),
+        )
+        def inner(params, item_feats, rng, *rest):
+            from plotpointe_tpu.ops.gat_fused import attention_v3
+
+            lay_leaves, (u_l, i_l, j_l) = rest[:9], rest[9:]
+            g_l = _local_graph(stacked, lay_leaves, n_nodes, graph_n_edges)
+            dev = jax.lax.axis_index(axis)
+
+            def local_loss(p):
+                ue = jax.lax.all_gather(p["user_emb"], axis, tiled=True)[:n_users]
+                v = item_feats @ p["item_proj"]["w"] + p["item_proj"]["b"]
+                x = jnp.concatenate([ue, v], axis=0)
+                for li, layer in enumerate(p["layers"]):
+                    h = jnp.einsum("nf,fhd->nhd", x, layer["w"])  # [N, 1, D]
+                    lrng = None
+                    if dropout_rate > 0.0:
+                        lrng = jax.random.fold_in(jax.random.fold_in(rng, li), dev)
+                    h = jax.lax.pvary(h, (axis,))
+                    a_s = jax.lax.pvary(layer["a_src"], (axis,))
+                    a_d = jax.lax.pvary(layer["a_dst"], (axis,))
+                    out_l = attention_v3(h, a_s, a_d, g_l,
+                                         dropout_rate=dropout_rate, rng=lrng, vma=(axis,))
+                    out = jax.lax.psum(out_l, axis)  # overlay: off-shard rows are exact zeros
+                    x = out[:, 0, :]
+                    if model.use_bias:
+                        x = x + layer["b"]
+                U, I = x[:n_users], x[n_users:]
+                pos = jnp.sum(U[u_l] * I[i_l], axis=-1)
+                neg = jnp.sum(U[u_l] * I[j_l], axis=-1)
+                return loss_fn_elem(pos, neg) / n_shards
+
+            loss_l, grads_l = jax.value_and_grad(local_loss)(params)
+            return grads_l, jax.lax.psum(loss_l, axis)
+
+        return inner(params, item_feats, rng, *leaves, u, i, j)
+
+    def step(params, item_feats, rng, u, i, j):
+        return _step(params, item_feats, rng, u, i, j, *leaves_dev)
+
+    return step
 
 
 def make_sharded_lightgcn_step(

@@ -43,3 +43,34 @@ def test_knn_artifacts(tmp_path, rng):
     assert (tmp_path / "ii_txt_stats.json").exists()
     assert stats["n_edges"] == len(vals)
     assert stats["k"] == 3
+
+
+def test_knn_pallas_matches_xla(rng):
+    # interpret-mode Pallas (CPU backend) vs the XLA blocked path vs brute force
+    X = rng.normal(size=(300, 32)).astype(np.float32)
+    pidx, psim, pvalid = cosine_knn(X, k=6, min_similarity=0.1, impl="pallas")
+    xidx, xsim, xvalid = cosine_knn(X, k=6, min_similarity=0.1, block_rows=64, impl="xla")
+    bidx, bsim, bvalid = _brute_force(X, 6, 0.1)
+    np.testing.assert_allclose(psim, bsim, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.sort(psim, axis=1), np.sort(xsim, axis=1), rtol=1e-4, atol=1e-5)
+    assert pvalid.sum() == bvalid.sum()
+    assert not (pidx == np.arange(300)[:, None])[pvalid].any()  # no self edges
+    # descending order per row
+    assert (np.diff(psim, axis=1) <= 1e-6).all()
+
+
+def test_knn_pallas_padding_excluded(rng):
+    # n not a multiple of either block size: padding rows/cols must not leak
+    from plotpointe_tpu.graphs.knn import l2_normalize
+    from plotpointe_tpu.ops.knn_kernel import knn_topk_pallas
+
+    import jax.numpy as jnp
+
+    X = rng.normal(size=(77, 16)).astype(np.float32)
+    xn = np.asarray(l2_normalize(jnp.asarray(X)))
+    idx, sim = knn_topk_pallas(jnp.asarray(xn), 5, block_rows=32, block_cols=64)
+    idx, sim = np.asarray(idx), np.asarray(sim)
+    assert idx.shape == (77, 5)
+    assert (idx < 77).all() and (idx >= 0).all()
+    bidx, bsim, _ = _brute_force(X, 5, -2.0)
+    np.testing.assert_allclose(sim, bsim, rtol=1e-4, atol=1e-5)

@@ -84,3 +84,62 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.multidevice
+def test_sharded_fused_attention_matches_single(devices8, setup):
+    """Tile-sharded Pallas attention (one attention_v3 per device over its
+    destination-tile shard + psum overlay) vs the XLA golden op."""
+    from plotpointe_tpu.parallel.spmd import shard_layout_by_tiles, sharded_attention_fused
+
+    g, feats, model, params, _ = setup
+    mesh = make_mesh({"data": 8}, devices=devices8)
+    stacked = shard_layout_by_tiles(g, 8, nb=8, eb=128)
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(g.n_nodes, 1, 16)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(1, 16)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(1, 16)).astype(np.float32))
+
+    want = segment_softmax_attention(h, a_s, a_d, g.to_device())
+    got = sharded_attention_fused(mesh, h, a_s, a_d, g, stacked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.multidevice
+def test_sharded_fused_gat_step_matches_single(devices8, setup):
+    """Fused-kernel sharded GAT step: loss + grads must match the
+    single-device XLA reference (dropout 0), pad-row user grads zero."""
+    from plotpointe_tpu.parallel.sharded_table import device_put_row_sharded
+    from plotpointe_tpu.parallel.spmd import make_sharded_gat_step_fused, shard_layout_by_tiles
+
+    g, feats, model, params, (n_users, n_items) = setup
+    mesh = make_mesh({"data": 8}, devices=devices8)
+    stacked = shard_layout_by_tiles(g, 8, nb=8, eb=128)
+
+    rng = np.random.default_rng(4)
+    B = 64
+    u = jnp.asarray(rng.integers(0, n_users, B).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    j = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    feats_j = jnp.asarray(feats)
+
+    sharded_params = dict(params)
+    sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh)
+    step = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked)
+    grads, loss = step(sharded_params, feats_j, jax.random.key(9), u, i, j)
+
+    gd = g.to_device()
+
+    def ref_loss(p):
+        z = model.apply(p, feats_j, gd)
+        U, I = z[:n_users], z[n_users:]
+        return bpr_loss(jnp.sum(U[u] * I[i], -1), jnp.sum(U[u] * I[j], -1))
+
+    want_loss, want_grads = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    got_ue = np.asarray(grads["user_emb"])
+    np.testing.assert_allclose(got_ue[:n_users], np.asarray(want_grads["user_emb"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(got_ue[n_users:], 0.0)
+    for got_l, want_l in zip(grads["layers"], want_grads["layers"]):
+        for k in got_l:
+            np.testing.assert_allclose(np.asarray(got_l[k]), np.asarray(want_l[k]), rtol=1e-4, atol=1e-5)

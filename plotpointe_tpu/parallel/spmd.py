@@ -138,7 +138,22 @@ def shard_layout_by_tiles(graph: Graph, n_shards: int, nb: int = 256, eb: int = 
         lo, hi = int(bounds[dv]), int(bounds[dv + 1])
         m = (tile_of_edge >= lo) & (tile_of_edge < hi)
         gl = build_graph(real_src[m], real_dst[m], n, pad_multiple=eb)
-        layouts.append(gl.with_layout(nb=nb, eb=eb).layout)
+        lay = gl.with_layout(nb=nb, eb=eb).layout
+        # remap pos from LOCAL filtered-edge positions to GLOBAL canonical edge
+        # indices so consumers gathering global per-edge data by pos stay
+        # correct (fill = graph.n_edges, matching the single-shard contract)
+        idx_global = np.flatnonzero(m)
+        local_pos = np.asarray(lay.pos).astype(np.int64)
+        if gl.n_edges > 0:
+            pos_global = np.where(
+                local_pos < gl.n_edges,
+                idx_global[np.minimum(local_pos, gl.n_edges - 1)],
+                graph.n_edges,
+            )
+        else:
+            pos_global = np.full(local_pos.shape, graph.n_edges, dtype=np.int64)
+        lay = dataclasses.replace(lay, pos=pos_global.astype(np.int32))
+        layouts.append(lay)
 
     n_chunks = max(l.n_chunks for l in layouts)
     n_chunks_t = max(l.n_chunks_t for l in layouts)
@@ -196,6 +211,7 @@ def sharded_attention_fused(
     graph: Graph,
     stacked: AttentionLayout,
     axis: str = "data",
+    hs_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Edge-parallel fused-Pallas attention: each device runs attention_v3
     over its tile shard (complete in-shard softmax), outputs overlay via one
@@ -203,18 +219,24 @@ def sharded_attention_fused(
     custom backward runs per device, shard_map psums the replicated-h grads)."""
     n, n_e = graph.n_nodes, graph.n_edges
 
+    # check_vma=False: Pallas scalar-prefetch index maps (to[i]) mix the
+    # P(axis)-sharded layout leaves (vma-varying) with unvarying grid indices,
+    # which jax 0.9's check_vma rejects inside dynamic_slice (and JAX's own
+    # error message prescribes exactly this workaround). Unchecked semantics
+    # mean WE are responsible for the collectives: the one psum below is the
+    # overlay combine; there is no autodiff through this forward primitive.
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P()) + (P(axis),) * 9,
         out_specs=P(),
+        check_vma=False,
     )
     def f(h, a_s, a_d, *leaves):
         from plotpointe_tpu.ops.gat_fused import attention_v3
 
         g_l = _local_graph(stacked, leaves, n, n_e)
-        h, a_s, a_d = (jax.lax.pvary(t, (axis,)) for t in (h, a_s, a_d))
-        return jax.lax.psum(attention_v3(h, a_s, a_d, g_l, vma=(axis,)), axis)
+        return jax.lax.psum(attention_v3(h, a_s, a_d, g_l, hs_dtype=hs_dtype), axis)
 
     return f(h, a_src, a_dst, *_layout_leaves(stacked))
 
@@ -228,6 +250,7 @@ def make_sharded_gat_step_fused(
     stacked: AttentionLayout,
     axis: str = "data",
     dropout_rate: float = 0.0,
+    hs_dtype=jnp.bfloat16,
 ) -> Callable:
     """Fully sharded GAT training step on the fused Pallas kernels: the
     multi-chip counterpart of the single-chip flagship path (attn_impl=
@@ -253,11 +276,19 @@ def make_sharded_gat_step_fused(
 
     @jax.jit
     def _step(params, item_feats, rng, u, i, j, *leaves):
+        # check_vma=False for the same Pallas scalar-prefetch reason as
+        # sharded_attention_fused. Under unchecked semantics the grad
+        # collectives are OUR job: the all_gather on user_emb still
+        # transposes to psum_scatter (row-sharded, fully reduced), but
+        # replicated-param grads (item_proj/layers) and the psum-overlay
+        # cotangents need explicit psums — verified against the
+        # single-device reference in tests/test_spmd.py.
         @functools.partial(
             shard_map,
             mesh=mesh,
             in_specs=(param_specs, P(), P()) + (P(axis),) * 9 + (P(axis),) * 3,
             out_specs=(param_specs, P()),
+            check_vma=False,
         )
         def inner(params, item_feats, rng, *rest):
             from plotpointe_tpu.ops.gat_fused import attention_v3
@@ -275,11 +306,9 @@ def make_sharded_gat_step_fused(
                     lrng = None
                     if dropout_rate > 0.0:
                         lrng = jax.random.fold_in(jax.random.fold_in(rng, li), dev)
-                    h = jax.lax.pvary(h, (axis,))
-                    a_s = jax.lax.pvary(layer["a_src"], (axis,))
-                    a_d = jax.lax.pvary(layer["a_dst"], (axis,))
-                    out_l = attention_v3(h, a_s, a_d, g_l,
-                                         dropout_rate=dropout_rate, rng=lrng, vma=(axis,))
+                    out_l = attention_v3(h, layer["a_src"], layer["a_dst"], g_l,
+                                         dropout_rate=dropout_rate, rng=lrng,
+                                         hs_dtype=hs_dtype)
                     out = jax.lax.psum(out_l, axis)  # overlay: off-shard rows are exact zeros
                     x = out[:, 0, :]
                     if model.use_bias:
@@ -290,7 +319,12 @@ def make_sharded_gat_step_fused(
                 return loss_fn_elem(pos, neg) / n_shards
 
             loss_l, grads_l = jax.value_and_grad(local_loss)(params)
-            return grads_l, jax.lax.psum(loss_l, axis)
+            grads = {
+                "user_emb": grads_l["user_emb"],  # psum_scatter'd by the all_gather transpose
+                "item_proj": jax.tree.map(lambda t: jax.lax.psum(t, axis), grads_l["item_proj"]),
+                "layers": jax.tree.map(lambda t: jax.lax.psum(t, axis), grads_l["layers"]),
+            }
+            return grads, jax.lax.psum(loss_l, axis)
 
         return inner(params, item_feats, rng, *leaves, u, i, j)
 

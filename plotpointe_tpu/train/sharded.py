@@ -48,8 +48,10 @@ from plotpointe_tpu.parallel.mesh import make_mesh
 from plotpointe_tpu.parallel.sharded_table import device_put_row_sharded
 from plotpointe_tpu.parallel.spmd import (
     make_sharded_gat_step,
+    make_sharded_gat_step_fused,
     make_sharded_lightgcn_step,
     shard_graph_by_edges,
+    shard_layout_by_tiles,
 )
 from plotpointe_tpu.train.sampling import _rank_to_item, _uniform_ranks, sample_bpr_triples
 from plotpointe_tpu.train.trainer import Trainer, TrainState
@@ -57,6 +59,18 @@ from plotpointe_tpu.train.trainer import Trainer, TrainState
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _auto_tile_sizes(n_nodes: int, n_edges: int, n_shards: int) -> tuple:
+    """Pick (nb, eb) for the tile-sharded fused layout: flagship (256, 1024)
+    at Amazon scale; shrink for tiny graphs so every shard owns >= 2 tiles
+    (otherwise most devices sit idle and padding dominates)."""
+    nb = 256
+    while nb > 8 and (n_nodes + 1 + nb - 1) // nb < 2 * n_shards:
+        nb //= 2
+    nb = max(nb, 8)
+    eb = 1024 if n_edges >= 100_000 else 128
+    return nb, eb
 
 
 class ShardedTrainer(Trainer):
@@ -72,6 +86,7 @@ class ShardedTrainer(Trainer):
         mesh: Optional[Mesh] = None,
         max_pos_degree: int = 512,
         axis: str = "data",
+        fused_hs_dtype=None,  # None -> kernel default (bf16 row gather); tests pass f32 for exact parity
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = axis
@@ -97,13 +112,28 @@ class ShardedTrainer(Trainer):
                     f"batch_size*neg_per_pos ({pairs}) must divide the mesh ({self.n_shards} shards)"
                 )
         else:
-            self._sh_step = make_sharded_gat_step(
-                model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
-            )
+            from plotpointe_tpu.ops.segment import resolve_attn_impl
+
+            impl = resolve_attn_impl(getattr(model, "attn_impl", "xla"))
+            self._fused = impl == "pallas" and getattr(model, "heads", 1) == 1
+            if self._fused:
+                # flagship composition: fused Pallas attention (fwd+bwd) per
+                # device over its destination-tile shard + psum overlay
+                nb, eb = _auto_tile_sizes(self.graph.n_nodes, self.graph.n_edges, self.n_shards)
+                stacked = shard_layout_by_tiles(graph, self.n_shards, nb=nb, eb=eb)
+                kw = {} if fused_hs_dtype is None else {"hs_dtype": fused_hs_dtype}
+                self._sh_step = make_sharded_gat_step_fused(
+                    model, cfg.loss, self.mesh, self.n_users, self.n_items, stacked,
+                    axis=axis, dropout_rate=getattr(model, "attn_dropout", 0.0), **kw,
+                )
+            else:
+                self._sh_step = make_sharded_gat_step(
+                    model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
+                )
+                self._ones_masks = jnp.ones(
+                    (model.n_layers, self.graph.n_padded, model.heads), jnp.float32
+                )
             self._samples = _round_up(cfg.samples_per_epoch, self.n_shards)
-            self._ones_masks = jnp.ones(
-                (model.n_layers, self.graph.n_padded, model.heads), jnp.float32
-            )
 
     # -- param placement ------------------------------------------------------
 
@@ -164,10 +194,14 @@ class ShardedTrainer(Trainer):
                 k_sample, self.train_users, self.user_pos_padded, self.user_deg,
                 self.n_items, self._samples,
             )
-            masks = self._dropout_masks(k_drop)
-            grads, loss = self._sh_step(
-                state.params, self.item_feats, self._src, self._dst, masks, u, i, j
-            )
+            if self._fused:
+                # dropout masks are drawn in-kernel per device from k_drop
+                grads, loss = self._sh_step(state.params, self.item_feats, k_drop, u, i, j)
+            else:
+                masks = self._dropout_masks(k_drop)
+                grads, loss = self._sh_step(
+                    state.params, self.item_feats, self._src, self._dst, masks, u, i, j
+                )
             state.params, state.opt_state = self._apply_updates(state.params, state.opt_state, grads)
             tot += float(loss)
         return tot / max(1, self.cfg.steps_per_epoch)

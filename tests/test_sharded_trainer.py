@@ -67,6 +67,39 @@ def test_sharded_gat_fit_matches_single_device(mesh8):
 
 
 @pytest.mark.multidevice
+def test_sharded_gat_fused_fit_matches_single_device(mesh8):
+    """Flagship composition: the fused-Pallas multi-chip step (attn_impl=
+    pallas -> make_sharded_gat_step_fused) must reproduce the single-device
+    XLA trainer. f32 row gathers for exact comparison (bf16 is the perf
+    default on real TPU)."""
+    s, g, feats = _problem(seed=7)
+    cfg = TrainConfig(
+        hidden_dim=16, layers=2, epochs=2, samples_per_epoch=64,
+        eval_neg_k=32, attn_dropout=0.0, seed=17,
+    )
+
+    single = Trainer(
+        GATModel(n_users=s.n_users, n_items=s.n_items, feat_dim=feats.shape[1],
+                 hidden_dim=16, n_layers=2, attn_dropout=0.0, attn_impl="xla"),
+        cfg, g, s, item_feats=feats,
+    )
+    res_single = single.fit(jax.random.key(cfg.seed))
+
+    sharded = ShardedTrainer(
+        GATModel(n_users=s.n_users, n_items=s.n_items, feat_dim=feats.shape[1],
+                 hidden_dim=16, n_layers=2, attn_dropout=0.0, attn_impl="pallas"),
+        cfg, g, s, item_feats=feats, mesh=mesh8, fused_hs_dtype=jnp.float32,
+    )
+    assert sharded._fused, "pallas attn_impl must route to the fused sharded step"
+    res_sharded = sharded.fit(jax.random.key(cfg.seed))
+
+    for h1, h8 in zip(res_single["history"], res_sharded["history"]):
+        np.testing.assert_allclose(h8["loss"], h1["loss"], rtol=5e-4)
+    for k, v in res_single["test"].items():
+        np.testing.assert_allclose(res_sharded["test"][k], v, atol=2e-3, err_msg=k)
+
+
+@pytest.mark.multidevice
 def test_sharded_lightgcn_fit_matches_single_device(mesh8):
     s, g, feats = _problem(seed=5)
     cfg = TrainConfig(

@@ -101,7 +101,7 @@ def test_sharded_fused_attention_matches_single(devices8, setup):
     a_d = jnp.asarray(rng.normal(size=(1, 16)).astype(np.float32))
 
     want = segment_softmax_attention(h, a_s, a_d, g.to_device())
-    got = sharded_attention_fused(mesh, h, a_s, a_d, g, stacked)
+    got = sharded_attention_fused(mesh, h, a_s, a_d, g, stacked, hs_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
@@ -125,7 +125,8 @@ def test_sharded_fused_gat_step_matches_single(devices8, setup):
 
     sharded_params = dict(params)
     sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh)
-    step = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked)
+    step = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
+                                       hs_dtype=jnp.float32)
     grads, loss = step(sharded_params, feats_j, jax.random.key(9), u, i, j)
 
     gd = g.to_device()

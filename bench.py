@@ -180,38 +180,115 @@ def _bench_ui_build(n_users=192_403, n_items=63_001, n_edges=1_689_116):
     return dt
 
 
-def _bench_spmm(n_users=192_403, n_items=63_001, n_edges=1_689_116, d=128):
+def _bench_spmm(n_users=192_403, n_items=63_001, n_edges=1_689_116, d=64):
     """LightGCN propagation kernel (replaces torch.sparse.mm,
-    train_lightgcn.py:70-71): one SpMM round over the symmetric U-I graph."""
+    train_lightgcn.py:70-71) at the reference shape (embed_dim=64): the static
+    Pallas operator (make_spmm: host-aligned weights, transpose-layout bwd)
+    vs the XLA segment_sum golden — headline spmm_ms is the winner."""
     import jax
     import jax.numpy as jnp
 
     from plotpointe_tpu.graphs.csr import build_bipartite_graph, symmetric_normalized_weights
-    from plotpointe_tpu.ops.spmm_kernel import spmm_pallas
+    from plotpointe_tpu.ops import segment as _seg
+    from plotpointe_tpu.ops.spmm_kernel import make_spmm
 
     rng = np.random.default_rng(0)
     tu = rng.integers(0, n_users, n_edges).astype(np.int32)
     ti = rng.integers(0, n_items, n_edges).astype(np.int32)
     graph = build_bipartite_graph(tu, ti, n_users, n_items).with_layout()
-    vals = jnp.asarray(symmetric_normalized_weights(graph))
+    vals = symmetric_normalized_weights(graph)
+    vals_j = jnp.asarray(vals)
     L = graph.layout
     graph = graph.to_device()
     x = jnp.asarray(rng.normal(size=(graph.n_nodes, d)).astype(np.float32))
 
-    fn = jax.jit(lambda v, x: spmm_pallas(graph, v, x))
-    jax.block_until_ready(fn(vals, x))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        out = fn(vals, x)
-    float(out[0, 0])
-    dt = (time.perf_counter() - t0) / 10
-    out = {"spmm_ms": round(dt * 1000, 3)}
-    out.update(_roofline("spmm", dt, flops=2.0 * L.n_chunks * L.nb * L.eb * d,
-                         bytes_accessed=L.e_aligned * d * 2 + L.n_tiles * L.nb * d * 4))
-    # useful (algorithmic) flops: 2*nnz*d — the one-hot formulation trades
-    # NB-fold redundant MXU flops for zero scatter traffic
-    out["spmm_useful_tflops"] = round(2.0 * 2 * n_edges * d / dt / 1e12, 2)
+    def timed(fn, *args, n=10):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    op = make_spmm(graph, vals)
+    dt_pl = timed(jax.jit(op), x)
+    dt_pl_bwd = timed(jax.jit(jax.grad(lambda xx: op(xx).sum())), x)
+    dt_xla = timed(jax.jit(lambda xx: _seg.spmm(graph, vals_j, xx)), x)
+    dt_xla_bwd = timed(jax.jit(jax.grad(lambda xx: _seg.spmm(graph, vals_j, xx).sum())), x)
+
+    dt = min(dt_pl, dt_xla)
+    out = {
+        "spmm_ms": round(dt * 1000, 3),
+        "spmm_pallas_ms": round(dt_pl * 1000, 3),
+        "spmm_pallas_bwd_ms": round(dt_pl_bwd * 1000, 3),
+        "spmm_xla_ms": round(dt_xla * 1000, 3),
+        "spmm_xla_bwd_ms": round(dt_xla_bwd * 1000, 3),
+        "spmm_winner": "pallas" if dt_pl <= dt_xla else "xla",
+    }
+    # memory roofline on the winner: gather traffic (bf16 rows, lane-padded
+    # width) + aligned output writeback
+    d_al = ((d + 127) // 128) * 128
+    out.update(_roofline("spmm", dt, flops=2.0 * 2 * n_edges * d,
+                         bytes_accessed=L.e_aligned * d_al * 2 + L.n_tiles * L.nb * d_al * 4))
+    # useful (algorithmic) flops: 2*nnz*d
+    out["spmm_useful_tflops"] = round(2.0 * 2 * n_edges * d / dt / 1e12, 3)
+
+    # full LightGCN training batch at Amazon scale: 3 propagation rounds
+    # fwd+bwd + BPR loss + Adam, the reference's per-batch unit of work
+    try:
+        out.update(_bench_lightgcn_step(graph, vals, n_users, n_items))
+    except Exception as e:  # noqa: BLE001
+        out["lightgcn_step_error"] = _err(e)
     return out
+
+
+def _bench_lightgcn_step(graph, vals, n_users, n_items, d=64, bs=8192, npp=5):
+    """One full LightGCN mini-batch step (train_lightgcn.py:313-336 protocol:
+    8192 positives x 5 negatives, 3-round propagation inside the step)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from plotpointe_tpu.models.lightgcn import LightGCNModel
+    from plotpointe_tpu.ops.spmm_kernel import make_spmm
+    from plotpointe_tpu.train.losses import LOSSES
+    from plotpointe_tpu.train.trainer import make_optimizer
+
+    model = LightGCNModel(n_users=n_users, n_items=n_items, embed_dim=d, n_prop_layers=3)
+    params = model.init(jax.random.key(0))
+    op = make_spmm(graph, vals)
+    tx = make_optimizer(5e-4, 1e-5)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.integers(0, n_users, bs).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, n_items, bs).astype(np.int32))
+    j = jnp.asarray(rng.integers(0, n_items, (bs, npp)).astype(np.int32))
+
+    @jax.jit
+    def step(params, opt_state, u, i, j):
+        def loss_fn(p):
+            us, it = model.propagate(p, graph, None, spmm_op=op)
+            pos = jnp.sum(us[u] * it[i], axis=-1)
+            neg = jnp.sum(us[u][:, None, :] * it[j], axis=-1)
+            return LOSSES["bpr"](jnp.repeat(pos[:, None], npp, 1).reshape(-1), neg.reshape(-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p, o, loss = step(params, opt_state, u, i, j)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        p, o, loss = step(p, o, u, i, j)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n
+    n_batches = 1_689_116 // 8192  # train interactions / batch size
+    return {
+        "lightgcn_step_ms": round(dt * 1000, 2),
+        "lightgcn_epoch_s_est": round(dt * n_batches, 2),
+    }
 
 
 def _bench_encoders(img_batch=128, txt_batch=256):

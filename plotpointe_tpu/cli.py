@@ -170,6 +170,7 @@ def _cmd_train(args):
         loss=args.loss,
         structured_logs=args.structured_logs,
         attn_impl=args.attn_impl,
+        spmm_impl=args.spmm_impl,
         optimizer=args.optimizer,
         warmup_steps=args.warmup_steps,
         mesh_shape=args.mesh,
@@ -458,6 +459,8 @@ def main(argv=None):
     p.add_argument("--loss", choices=["bpr", "bce"], default="bpr")
     p.add_argument("--attn-impl", choices=["auto", "xla", "pallas"], default="auto",
                    help="auto = fused Pallas kernels on TPU, XLA golden path elsewhere")
+    p.add_argument("--spmm-impl", choices=["auto", "xla", "pallas"], default="auto",
+                   help="LightGCN propagation: auto = static Pallas SpMM on TPU")
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam",
                    help="adam = reference parity (coupled L2); adamw decouples decay for long schedules")
     p.add_argument("--warmup-steps", type=int, default=0, help="linear lr warmup (beyond-parity)")

@@ -75,6 +75,7 @@ class TrainConfig:
     # TPU execution
     # auto = fused Pallas kernels on TPU, XLA golden path elsewhere
     attn_impl: str = "auto"  # {auto, xla, pallas} — GAT attention aggregation kernel
+    spmm_impl: str = "auto"  # {auto, xla, pallas} — LightGCN propagation SpMM kernel
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for large runs
     mesh_shape: Optional[str] = None  # e.g. "data:4,model:2"; None = single device

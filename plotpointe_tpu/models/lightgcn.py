@@ -39,31 +39,37 @@ class LightGCNModel:
         }
 
     def _spmm(self, graph: Graph, values: jax.Array, x: jax.Array) -> jax.Array:
-        if self.spmm_impl == "pallas" and graph.layout is not None and x.shape[1] % 128 == 0:
+        from plotpointe_tpu.ops.segment import resolve_attn_impl
+
+        if resolve_attn_impl(self.spmm_impl) == "pallas" and graph.layout is not None:
             from plotpointe_tpu.ops.spmm_kernel import spmm_pallas
 
             return spmm_pallas(graph, values, x)
         return spmm(graph, values, x)
 
     def propagate(
-        self, params: Dict[str, Any], graph: Graph, norm_values: jax.Array
+        self, params: Dict[str, Any], graph: Graph, norm_values: jax.Array, spmm_op=None
     ) -> Tuple[jax.Array, jax.Array]:
-        """K propagation rounds, mean over layers 0..K (train_lightgcn.py:64-76)."""
+        """K propagation rounds, mean over layers 0..K (train_lightgcn.py:64-76).
+
+        `spmm_op` — optional prebuilt static operator (ops.spmm_kernel.make_spmm)
+        for the FIXED (graph, norm_values) training pair: edge weights are
+        host-aligned once instead of re-gathered on device every step."""
         x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         acc = x
         out = x
         for _ in range(self.n_prop_layers):
-            out = self._spmm(graph, norm_values, out)
+            out = spmm_op(out) if spmm_op is not None else self._spmm(graph, norm_values, out)
             acc = acc + out
         acc = acc / (self.n_prop_layers + 1)
         return acc[: self.n_users], acc[self.n_users :]
 
-    def apply(self, params, item_feats, graph, norm_values=None, **_):
+    def apply(self, params, item_feats, graph, norm_values=None, spmm_op=None, **_):
         """Trainer-harness-compatible forward -> [n_nodes, embed_dim].
         `item_feats` is unused (LightGCN is ID-only) but kept for signature parity."""
-        if norm_values is None:
+        if norm_values is None and spmm_op is None:
             raise ValueError("LightGCN requires norm_values (symmetric_normalized_weights)")
-        u, i = self.propagate(params, graph, norm_values)
+        u, i = self.propagate(params, graph, norm_values, spmm_op=spmm_op)
         return jnp.concatenate([u, i], axis=0)
 
     def config_dict(self) -> Dict[str, Any]:

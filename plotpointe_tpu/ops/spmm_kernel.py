@@ -83,10 +83,20 @@ def _wreduce_call(xs, w2, dst2, tile_of, is_last, nb, eb, n_tiles, n_chunks):
     )(tile_of, is_last, xs, w2, dst2)
 
 
+def _round_up_128(d: int) -> int:
+    return ((d + 127) // 128) * 128
+
+
 def _gather_rows(x, idx, n_rows, dtype):
     """Sentinel-pad x to n_rows+1 rows, cast FIRST, then gather (fast path)."""
     xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
     return xp.astype(dtype)[idx]
+
+
+def _pad_cols(x, d_al):
+    """Zero-pad the feature dim to the lane-aligned width (no-op if aligned)."""
+    d = x.shape[1]
+    return x if d == d_al else jnp.pad(x, ((0, 0), (0, d_al - d)))
 
 
 def _host_aligned_values(graph: Graph, values: np.ndarray):
@@ -141,9 +151,10 @@ def make_spmm(graph: Graph, values, xs_dtype=jnp.bfloat16) -> Callable:
 
     @jax.custom_vjp
     def op(x):
-        xs = _gather_rows(x, lay["src"], n, xs_dtype)
+        d = x.shape[1]
+        xs = _gather_rows(_pad_cols(x, _round_up_128(d)), lay["src"], n, xs_dtype)
         out = _wreduce_call(xs, w2, dst2, lay["tile_of"], lay["is_last"], nb, eb, n_tiles, n_chunks)
-        return out[:n]
+        return out[:n, :d]
 
     def op_fwd(x):
         return op(x), None
@@ -152,9 +163,10 @@ def make_spmm(graph: Graph, values, xs_dtype=jnp.bfloat16) -> Callable:
         # dL/dx[s] = sum_{e: src_e = s} v_e * g[dst_e] — SpMM over the
         # transpose layout: gather cotangent rows at t_src, reduce per source
         # tile with the transpose chunk bookkeeping.
-        gs = _gather_rows(g, t_src, n, xs_dtype)
+        d = g.shape[1]
+        gs = _gather_rows(_pad_cols(g, _round_up_128(d)), t_src, n, xs_dtype)
         dx = _wreduce_call(gs, w2_t, tdst2, lay["t_tile_of"], lay["t_is_last"], nb, eb, n_tiles, n_chunks_t)
-        return (dx[:n],)
+        return (dx[:n, :d],)
 
     op.defvjp(op_fwd, op_bwd)
     return op

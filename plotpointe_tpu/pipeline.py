@@ -36,7 +36,8 @@ def make_model(cfg: TrainConfig, n_users: int, n_items: int, feat_dim: int):
         )
     if cfg.model_family == "lightgcn":
         return LightGCNModel(
-            n_users=n_users, n_items=n_items, embed_dim=cfg.embed_dim, n_prop_layers=cfg.n_prop_layers
+            n_users=n_users, n_items=n_items, embed_dim=cfg.embed_dim,
+            n_prop_layers=cfg.n_prop_layers, spmm_impl=cfg.spmm_impl,
         )
     raise ValueError(f"unknown model_family {cfg.model_family}")
 

@@ -69,6 +69,34 @@ def _eval_chunk(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("neg_k", "ks", "chunk"))
+def _eval_all_chunks(
+    U, I, users, pos, valid, user_pos_padded, user_deg, key, neg_k, ks, chunk
+):
+    """lax.scan over user chunks inside ONE jit — the whole eval is a single
+    device program with a single host sync at the end (the Python-loop
+    per-chunk `float()` version cost ~n_chunks round-trips per eval)."""
+    n_chunks = users.shape[0] // chunk
+
+    def body(carry, c):
+        out = _eval_chunk(
+            U, I,
+            jax.lax.dynamic_slice_in_dim(users, c * chunk, chunk),
+            jax.lax.dynamic_slice_in_dim(pos, c * chunk, chunk),
+            jax.lax.dynamic_slice_in_dim(valid, c * chunk, chunk),
+            user_pos_padded, user_deg,
+            jax.random.fold_in(key, c), neg_k, ks,
+        )
+        return jax.tree.map(lambda a, b: a + b, carry, out), None
+
+    init = {"tie_frac_sum": jnp.float32(0.0), "count": jnp.float32(0.0)}
+    for k in ks:
+        init[f"recall@{k}_sum"] = jnp.float32(0.0)
+        init[f"ndcg@{k}_sum"] = jnp.float32(0.0)
+    sums, _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return sums
+
+
 def sampled_eval(
     U: jax.Array,
     I: jax.Array,
@@ -85,6 +113,7 @@ def sampled_eval(
     n = len(eval_users)
     if n == 0:
         return {f"{m}@{k}": 0.0 for k in ks for m in ("recall", "ndcg")}
+    chunk = min(chunk, ((n + 127) // 128) * 128)  # don't pad tiny evals to 512
     n_pad = ((n + chunk - 1) // chunk) * chunk
     users = np.zeros(n_pad, dtype=np.int32)
     pos = np.zeros(n_pad, dtype=np.int32)
@@ -93,26 +122,14 @@ def sampled_eval(
     pos[:n] = eval_pos
     valid[:n] = 1.0
 
-    sums = {f"{m}@{k}_sum": 0.0 for k in ks for m in ("recall", "ndcg")}
-    sums["tie_frac_sum"] = 0.0
-    count = 0.0
-    for c in range(n_pad // chunk):
-        sl = slice(c * chunk, (c + 1) * chunk)
-        out = _eval_chunk(
-            U,
-            I,
-            jnp.asarray(users[sl]),
-            jnp.asarray(pos[sl]),
-            jnp.asarray(valid[sl]),
-            user_pos_padded,
-            user_deg,
-            jax.random.fold_in(key, c),
-            neg_k,
-            ks,
-        )
-        for k in sums:
-            sums[k] += float(out[k])
-        count += float(out["count"])
+    sums = jax.tree.map(
+        float,
+        _eval_all_chunks(
+            U, I, jnp.asarray(users), jnp.asarray(pos), jnp.asarray(valid),
+            user_pos_padded, user_deg, key, neg_k, ks, chunk,
+        ),
+    )
+    count = sums["count"]
 
     metrics = {}
     for k in ks:

@@ -99,7 +99,24 @@ class ShardedTrainer(Trainer):
         self._dst = jax.device_put(self.graph.dst, espec)
         self._family = model.config_dict().get("model_family", "gat")
 
+        # on-device eval (SURVEY section 2.3 "all-gather for eval scoring"):
+        # eval runs under GSPMD jit over the SAME mesh — row-sharded tables
+        # stay on device (XLA inserts the gathers), metric sums psum across
+        # chips inside the jit, ONE host sync per eval. The forward uses the
+        # XLA golden impl (Pallas kernels need shard_map, not GSPMD).
+        rep = NamedSharding(self.mesh, P())
+        import dataclasses as _dc
+
+        self._eval_graph = jax.device_put(self.graph, rep)
+        self._eval_feats = jax.device_put(self.item_feats, rep)
+        self._eval_pos_tab = jax.device_put(self.user_pos_padded, rep)
+        self._eval_deg = jax.device_put(self.user_deg, rep)
+        impl_field = "spmm_impl" if self._family == "lightgcn" else "attn_impl"
+        self._eval_model = _dc.replace(model, **{impl_field: "xla"})
+        self._eval_norm = None
+
         if self._family == "lightgcn":
+            self._eval_norm = jax.device_put(self.norm_values, rep)
             self.norm_values = jax.device_put(self.norm_values, espec)
             self._sh_step = make_sharded_lightgcn_step(
                 model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
@@ -186,7 +203,7 @@ class ShardedTrainer(Trainer):
     def _epoch(self, state: TrainState, k_epoch) -> float:
         if self._family == "lightgcn":
             return self._lightgcn_sharded_epoch(state, k_epoch)
-        tot = 0.0
+        tot = jnp.float32(0.0)  # device-side accumulation: steps pipeline, one sync/epoch
         for sstep in range(max(1, self.cfg.steps_per_epoch)):
             # identical key derivation to Trainer._train_step for parity
             k_sample, k_drop = jax.random.split(jax.random.fold_in(k_epoch, sstep))
@@ -203,8 +220,8 @@ class ShardedTrainer(Trainer):
                     state.params, self.item_feats, self._src, self._dst, masks, u, i, j
                 )
             state.params, state.opt_state = self._apply_updates(state.params, state.opt_state, grads)
-            tot += float(loss)
-        return tot / max(1, self.cfg.steps_per_epoch)
+            tot = tot + loss
+        return float(tot) / max(1, self.cfg.steps_per_epoch)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _lightgcn_batch_triples(self, perm, s, key):
@@ -228,20 +245,39 @@ class ShardedTrainer(Trainer):
         if t < bs:  # tiny datasets: wrap around so the slice is full
             perm = jnp.concatenate([perm] * ((bs + t - 1) // t))[:bs]
             n_steps = 1
-        tot = 0.0
+        tot = jnp.float32(0.0)  # device-side accumulation, one sync/epoch
         for s in range(n_steps):
             u, i, j = self._lightgcn_batch_triples(perm, jnp.int32(s), jax.random.fold_in(k_epoch, s))
             grads, loss = self._sh_step(
                 state.params, self.norm_values, self._src, self._dst, u, i, j
             )
             state.params, state.opt_state = self._apply_updates(state.params, state.opt_state, grads)
-            tot += float(loss)
-        return tot / n_steps
+            tot = tot + loss
+        return float(tot) / n_steps
 
-    # -- eval / export: gather the tables, run the single-device path ----------
+    # -- eval: on-device over the mesh; export: gather once at the end ---------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _forward_eval_dev(self, params):
+        """GSPMD forward with the row-sharded tables left in place. Tables are
+        zero-padded to divide the mesh; slice back to logical rows so graph
+        node ids (items offset by n_users) stay aligned."""
+        p = dict(params)
+        p["user_emb"] = p["user_emb"][: self.n_users]
+        if "item_emb" in p:
+            p["item_emb"] = p["item_emb"][: self.n_items]
+        kw = {"norm_values": self._eval_norm} if self._family == "lightgcn" else {}
+        z = self._eval_model.apply(p, self._eval_feats, self._eval_graph, **kw)
+        return z[: self.n_users], z[self.n_users :]
 
     def evaluate(self, params, eval_u, eval_i, key):
-        return super().evaluate(self._host_params(params), eval_u, eval_i, key)
+        from plotpointe_tpu.train.evaluate import sampled_eval
+
+        U, I = self._forward_eval_dev(params)
+        return sampled_eval(
+            U, I, eval_u, eval_i, self._eval_pos_tab, self._eval_deg, key,
+            neg_k=self.cfg.eval_neg_k, chunk=self.cfg.eval_chunk,
+        )
 
     def export_item_embeddings(self, params) -> np.ndarray:
         return super().export_item_embeddings(self._host_params(params))

@@ -112,8 +112,18 @@ class Trainer:
         self.train_users = jnp.asarray(np.flatnonzero(deg > 0).astype(np.int32))
 
         self.norm_values = None
+        self._spmm_op = None
         if getattr(model, "config_dict", lambda: {})().get("model_family") == "lightgcn":
-            self.norm_values = jnp.asarray(symmetric_normalized_weights(graph))
+            vals = symmetric_normalized_weights(graph)
+            self.norm_values = jnp.asarray(vals)
+            if resolve_attn_impl(getattr(model, "spmm_impl", "xla")) == "pallas":
+                # static (graph, values) pair: host-align edge weights once,
+                # fused streaming kernel fwd + transpose-layout bwd
+                from plotpointe_tpu.ops.spmm_kernel import make_spmm
+
+                if self.graph.layout is None:
+                    self.graph = graph.with_layout().to_device()
+                self._spmm_op = make_spmm(self.graph, np.asarray(vals))
 
         self.tx = make_optimizer(cfg.lr, cfg.l2, cfg.optimizer, cfg.warmup_steps)
         self._loss_name = cfg.loss
@@ -137,7 +147,7 @@ class Trainer:
                 p,
                 self.item_feats,
                 self.graph,
-                **({"norm_values": self.norm_values} if self.norm_values is not None else {}),
+                **({"norm_values": self.norm_values, "spmm_op": self._spmm_op} if self.norm_values is not None else {}),
                 **({"train": True, "rng": k_drop} if self.norm_values is None else {}),
             )
             U, I = z[: self.n_users], z[self.n_users :]
@@ -171,7 +181,8 @@ class Trainer:
         j = _rank_to_item(r, pos_rows)  # [bs, npp]
 
         def loss_fn(p):
-            z = self.model.apply(p, self.item_feats, self.graph, norm_values=self.norm_values)
+            z = self.model.apply(p, self.item_feats, self.graph, norm_values=self.norm_values,
+                                 spmm_op=self._spmm_op)
             U, I = z[: self.n_users], z[self.n_users :]
             pos = jnp.sum(U[u] * I[i], axis=-1)  # [bs]
             neg = jnp.sum(U[u][:, None, :] * I[j], axis=-1)  # [bs, npp]
@@ -195,13 +206,13 @@ class Trainer:
         if t < bs:  # tiny datasets: wrap around so the slice is full
             perm = jnp.concatenate([perm] * ((bs + t - 1) // t))[: bs]
             n_steps = 1
-        tot = 0.0
+        tot = jnp.float32(0.0)  # device-side accumulation: batches pipeline, one sync/epoch
         for s in range(n_steps):
             state.params, state.opt_state, loss = self._lightgcn_batch_step(
                 state.params, state.opt_state, perm, jnp.int32(s), jax.random.fold_in(key, s)
             )
-            tot += float(loss)
-        return tot / n_steps
+            tot = tot + loss
+        return float(tot) / n_steps
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _forward_eval(self, params):
@@ -209,7 +220,7 @@ class Trainer:
             params,
             self.item_feats,
             self.graph,
-            **({"norm_values": self.norm_values} if self.norm_values is not None else {}),
+            **({"norm_values": self.norm_values, "spmm_op": self._spmm_op} if self.norm_values is not None else {}),
         )
         return z[: self.n_users], z[self.n_users :]
 

@@ -162,3 +162,69 @@ def test_multihead_pallas_matches_xla(rng, heads):
     want_g = jax.grad(loss_xla, argnums=(0, 1, 2))(h, a_s, a_d)
     for gg, wg in zip(got_g, want_g):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(wg), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("d", [64, 128, 256])
+def test_make_spmm_matches_xla(rng, d):
+    """Static-values SpMM (host-aligned weights, transpose-layout backward):
+    forward and grad-wrt-x match the XLA golden at lane-aligned AND unaligned
+    (d=64, LightGCN's embed_dim) feature widths."""
+    from plotpointe_tpu.ops.segment import spmm
+    from plotpointe_tpu.ops.spmm_kernel import make_spmm
+
+    g = _graph(rng, n_nodes=180, n_edges=1400)
+    vals = rng.random(g.n_edges).astype(np.float32)
+    vals_pad = jnp.asarray(np.concatenate([vals, np.zeros(g.n_padded - g.n_edges, np.float32)]))
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, d)).astype(np.float32))
+
+    op = make_spmm(g, vals, xs_dtype=jnp.float32)
+    want = spmm(g, vals_pad, x)
+    got = op(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    ct = jnp.asarray(rng.normal(size=(g.n_nodes, d)).astype(np.float32))
+    gx = jax.grad(lambda xx: (spmm(g, vals_pad, xx) * ct).sum())(x)
+    gp = jax.grad(lambda xx: (op(xx) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5)
+
+
+def test_lightgcn_trainer_uses_static_spmm(rng):
+    """Trainer wires make_spmm when spmm_impl='pallas'; fit-step loss matches
+    the XLA path (same protocol, same keys)."""
+    from plotpointe_tpu.config import TrainConfig
+    from plotpointe_tpu.data.splits import Splits
+    from plotpointe_tpu.graphs.csr import build_bipartite_graph
+    from plotpointe_tpu.models.lightgcn import LightGCNModel
+    from plotpointe_tpu.train.trainer import Trainer
+
+    n_users, n_items, n_edges = 60, 40, 400
+    u = rng.integers(0, n_users, n_edges).astype(np.int32)
+    i = rng.integers(0, n_items, n_edges).astype(np.int32)
+    keep = np.unique(np.stack([u, i], 1), axis=0)
+    u, i = keep[:, 0], keep[:, 1]
+    n_tr = len(u) - 20
+    splits = Splits(
+        train_u=u[:n_tr], train_i=i[:n_tr], train_w=np.ones(n_tr, np.float32),
+        val_u=u[n_tr:n_tr + 10], val_i=i[n_tr:n_tr + 10],
+        test_u=u[n_tr + 10:], test_i=i[n_tr + 10:],
+        n_users=n_users, n_items=n_items,
+    )
+    graph = build_bipartite_graph(splits.train_u, splits.train_i, n_users, n_items)
+    cfg = TrainConfig(model_family="lightgcn", epochs=1, batch_size=64, neg_per_pos=2,
+                      embed_dim=64, eval_neg_k=10, lr=1e-2)
+
+    losses = {}
+    for impl in ("xla", "pallas"):
+        m = LightGCNModel(n_users=n_users, n_items=n_items, embed_dim=64,
+                          n_prop_layers=2, spmm_impl=impl)
+        tr = Trainer(m, cfg, graph, splits)
+        if impl == "pallas":
+            assert tr._spmm_op is not None
+        params = m.init(jax.random.key(0))
+        tr._train_u_dev = jnp.asarray(splits.train_u)
+        tr._train_i_dev = jnp.asarray(splits.train_i)
+        state_p, state_o, loss = tr._lightgcn_batch_step(
+            params, tr.tx.init(params), jnp.arange(max(64, n_tr)) % n_tr,
+            jnp.int32(0), jax.random.key(1))
+        losses[impl] = float(loss)
+    assert abs(losses["xla"] - losses["pallas"]) < 1e-4, losses

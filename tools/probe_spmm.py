@@ -66,5 +66,33 @@ def main():
     print("kernel_ms", timeit(kern, xs, w2) * 1000)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+def main2():
+    """make_spmm static path + backward timing at Amazon scale."""
+    from plotpointe_tpu.ops.spmm_kernel import make_spmm
+    n_users, n_items, n_edges, d = 192_403, 63_001, 1_689_116, 128
+    rng = np.random.default_rng(0)
+    tu = rng.integers(0, n_users, n_edges).astype(np.int32)
+    ti = rng.integers(0, n_items, n_edges).astype(np.int32)
+    graph = build_bipartite_graph(tu, ti, n_users, n_items).with_layout()
+    vals = symmetric_normalized_weights(graph)
+    gd = graph.to_device()
+    x = jnp.asarray(rng.normal(size=(graph.n_nodes, d)).astype(np.float32))
+
+    op = make_spmm(gd, vals)
+    f = jax.jit(op)
+    print("make_spmm_fwd_ms", timeit(f, x) * 1000)
+
+    g = jax.jit(jax.grad(lambda x: op(x).sum()))
+    print("make_spmm_bwd_ms", timeit(g, x) * 1000)
+
+    xla_fn = jax.jit(lambda x: _seg.spmm(gd, jnp.asarray(vals), x))
+    print("xla_spmm_fwd_ms", timeit(xla_fn, x) * 1000)
+    xla_g = jax.jit(jax.grad(lambda x: _seg.spmm(gd, jnp.asarray(vals), x).sum()))
+    print("xla_spmm_bwd_ms", timeit(xla_g, x) * 1000)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "2":
+    main2()

@@ -248,34 +248,118 @@ def _cmd_validate_manifests(args):
     mv_main(["--registry", args.registry] + (["--manifest-id", args.manifest_id] if args.manifest_id else []))
 
 
+def _pipeline_steps(args):
+    """The stage list shared by the serial and parallel drivers."""
+    d = args.workdir
+    embed_image = [
+        ["embed-image", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings"]
+    ]
+    merge = []
+    if getattr(args, "parallel", False) and args.image_chunks > 1:
+        # ceil-split over the item table; embed-image clamps chunk_end itself
+        per = (args.items + args.extra_items + args.image_chunks - 1) // args.image_chunks
+        embed_image = [
+            ["embed-image", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings",
+             "--chunk-start", str(c * per), "--chunk-end", str((c + 1) * per), "--chunk-id", str(c)]
+            for c in range(args.image_chunks)
+        ]
+        merge = [["merge-images", "--output-prefix", f"{d}/embeddings",
+                  "--n-chunks", str(args.image_chunks)]]
+    return {
+        "synth": ["synth", "--out", f"{d}/staging", "--users", str(args.users), "--items", str(args.items),
+                  "--interactions", str(args.interactions), "--extra-items", str(args.extra_items)],
+        "validate": ["validate", "--prefix", f"{d}/staging"],
+        "embed_text": ["embed-text", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings"],
+        "embed_image": embed_image,
+        "merge_images": merge,
+        "fuse": ["fuse", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
+                 "--epochs", "2", "--batch-size", "256"],
+        "build_ui": ["build-ui", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/graphs"],
+        "subset_fused": ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/fused.npy",
+                         "--output-prefix", f"{d}/embeddings", "--feature-name", "fused"],
+        "subset_txt": ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/txt.npy",
+                       "--output-prefix", f"{d}/embeddings", "--feature-name", "txt"],
+        "build_knn": ["build-knn", "--features", f"{d}/embeddings/fused_interacted.npy", "--output-prefix", f"{d}/graphs"],
+        "train": ["train", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
+                  "--models-prefix", f"{d}/models", "--item-features", "fused",
+                  "--epochs", str(args.epochs), "--samples-per-epoch", str(args.samples_per_epoch),
+                  "--eval-neg-k", str(args.eval_neg_k), "--hidden-dim", str(args.hidden_dim),
+                  "--attn-impl", args.attn_impl],
+    }
+
+
 def _cmd_pipeline(args):
     """Run the full pipeline: the reference's run_pipeline_v2.sh as one
     orchestrated command. --in-process runs stages as function calls in this
-    interpreter (one TPU attach, one jax runtime) instead of subprocesses."""
+    interpreter (one TPU attach, one jax runtime) instead of subprocesses.
+    --parallel overlaps the independent stages as concurrent subprocesses —
+    the in-process equivalent of scripts/parallel_pipeline.sh:44-80 +
+    parallel_image_embeddings.sh:33-76 (text || 4-way-chunked image
+    embeddings, then graph builds overlapped). Concurrent stages are forced
+    onto CPU (the TPU admits one process at a time; the reference's analog
+    is its CPU/GPU stage overlap)."""
     import subprocess
+    import time as _time
 
     base = [sys.executable, "-m", "plotpointe_tpu.cli"]
-    d = args.workdir
-    steps = [
-        ["synth", "--out", f"{d}/staging", "--users", str(args.users), "--items", str(args.items),
-         "--interactions", str(args.interactions), "--extra-items", str(args.extra_items)],
-        ["validate", "--prefix", f"{d}/staging"],
-        ["embed-text", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings"],
-        ["embed-image", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/embeddings"],
-        ["fuse", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
-         "--epochs", "2", "--batch-size", "256"],
-        ["build-ui", "--staging-prefix", f"{d}/staging", "--output-prefix", f"{d}/graphs"],
-        ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/fused.npy",
-         "--output-prefix", f"{d}/embeddings", "--feature-name", "fused"],
-        ["build-subset", "--staging-prefix", f"{d}/staging", "--features", f"{d}/embeddings/txt.npy",
-         "--output-prefix", f"{d}/embeddings", "--feature-name", "txt"],
-        ["build-knn", "--features", f"{d}/embeddings/fused_interacted.npy", "--output-prefix", f"{d}/graphs"],
-        ["train", "--staging-prefix", f"{d}/staging", "--embeddings-prefix", f"{d}/embeddings",
-         "--models-prefix", f"{d}/models", "--item-features", "fused",
-         "--epochs", str(args.epochs), "--samples-per-epoch", str(args.samples_per_epoch),
-         "--eval-neg-k", str(args.eval_neg_k), "--hidden-dim", str(args.hidden_dim),
-         "--attn-impl", args.attn_impl],
-    ]
+    S = _pipeline_steps(args)
+    t_start = _time.time()
+
+    if args.parallel:
+        if args.in_process:
+            raise SystemExit("--parallel requires subprocess mode (drop --in-process)")
+        import os
+        import threading
+
+        cpu_env = {**os.environ, "PLOTPOINTE_PLATFORM": "cpu"}
+
+        def run(step, env=None):
+            t0 = _time.time()
+            print(f"[pipeline] {' '.join(step)}", flush=True)
+            subprocess.run(base + step, check=True, env=env)
+            print(f"[pipeline] done in {_time.time() - t0:.1f}s: {step[0]}", flush=True)
+
+        def lane(steps, env=None):
+            for s in steps:
+                run(s, env=env)
+
+        def concurrent(lanes, env=None):
+            errs = []
+
+            def guard(fn, *a):
+                try:
+                    fn(*a)
+                except BaseException as e:  # noqa: BLE001 — surfaced below
+                    errs.append(e)
+
+            ts = [threading.Thread(target=guard, args=(lane, ln, env)) for ln in lanes]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errs:
+                raise errs[0]
+
+        run(S["synth"])
+        run(S["validate"])
+        # text || image chunks (CPU encoders, reference: parallel_image_embeddings.sh)
+        concurrent([[S["embed_text"]]] + [[c] for c in S["embed_image"]], env=cpu_env)
+        for m in S["merge_images"]:
+            run(m)
+        run(S["fuse"])
+        # graph builds overlap: U-I || (subset fused -> kNN) || subset txt
+        concurrent([
+            [S["build_ui"]],
+            [S["subset_fused"], S["build_knn"]],
+            [S["subset_txt"]],
+        ], env=cpu_env)
+        run(S["train"])
+        print(json.dumps({"pipeline": "complete", "workdir": args.workdir,
+                          "parallel": True, "wall_s": round(_time.time() - t_start, 2)}))
+        return
+
+    steps = [S["synth"], S["validate"], S["embed_text"], *S["embed_image"], *S["merge_images"],
+             S["fuse"], S["build_ui"], S["subset_fused"], S["subset_txt"], S["build_knn"], S["train"]]
     for step in steps:
         print(f"[pipeline] {' '.join(step)}", flush=True)
         if args.in_process:
@@ -286,7 +370,8 @@ def _cmd_pipeline(args):
                     raise
         else:
             subprocess.run(base + step, check=True)
-    print(json.dumps({"pipeline": "complete", "workdir": d}))
+    print(json.dumps({"pipeline": "complete", "workdir": args.workdir, "parallel": False,
+                      "wall_s": round(_time.time() - t_start, 2)}))
 
 
 def _cmd_ablate(args):
@@ -540,6 +625,11 @@ def main(argv=None):
                    help="auto = fused Pallas kernels on TPU, XLA golden path elsewhere")
     p.add_argument("--in-process", action="store_true",
                    help="run stages as function calls (one TPU attach) instead of subprocesses")
+    p.add_argument("--parallel", action="store_true",
+                   help="overlap independent stages (text || chunked image embeddings, "
+                        "graph builds) as concurrent CPU subprocesses")
+    p.add_argument("--image-chunks", type=int, default=4,
+                   help="image-embedding shards under --parallel (reference: 4-way)")
     p.set_defaults(fn=_cmd_pipeline)
 
     args = ap.parse_args(argv)

@@ -66,6 +66,8 @@ class ServingState:
                 [int(x) for x in raw_ids], k=payload.get("k")
             )
         except (IndexError, ValueError) as e:
+            if self.telemetry is not None:  # dead-letter (DLQ-topic analog)
+                self.telemetry.log_reject("recommend", payload, f"bad item_ids: {e}")
             return 400, {"detail": f"bad item_ids: {e}"}
         body: Dict[str, Any] = {
             "indices": idx.tolist(),
@@ -89,8 +91,9 @@ class ServingState:
                 value=float(payload.get("value", 1.0)),
                 user_key=payload.get("user_key"),
             )
-        except KeyError as e:
-            return 400, {"detail": f"missing field: {e}"}
+        except (KeyError, TypeError, ValueError) as e:
+            self.telemetry.log_reject("feedback", payload, f"{type(e).__name__}: {e}")
+            return 400, {"detail": f"bad feedback payload: {e}"}
         return 200, {"status": "ok"}
 
     # -- env bootstrap (Cloud-Run-style, reference `serving/app.py:28-48`) ---

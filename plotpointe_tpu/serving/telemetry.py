@@ -63,6 +63,9 @@ class ServingTelemetry:
     ):
         self.requests = request_sink or JsonlSink(Path(root) / "requests.jsonl")
         self.feedback = feedback_sink or JsonlSink(Path(root) / "feedback.jsonl")
+        # dead-letter sink: the Pub/Sub DLQ-topic analog (setup_pubsub.sh:12,
+        # recsys-*-dlq) — malformed/rejected events land here for ops triage
+        self.rejects = JsonlSink(Path(root) / "rejects" / "rejects.jsonl")
         self.experiment = experiment
         self.model_version = model_version
 
@@ -100,6 +103,17 @@ class ServingTelemetry:
                 "item_id": int(item_id),
                 "event_type": str(event_type),
                 "value": float(value),
+            }
+        )
+
+    def log_reject(self, kind: str, payload: Any, reason: str) -> None:
+        """Dead-letter a malformed/rejected event (DLQ-subscription analog)."""
+        self.rejects.emit(
+            {
+                "ts": time.time(),
+                "kind": str(kind),
+                "reason": str(reason),
+                "payload": repr(payload)[:2048],
             }
         )
 

@@ -175,3 +175,61 @@ def test_sharded_gat_step_matches_single(mesh8, rng):
             np.testing.assert_allclose(
                 np.asarray(got_l[k]), np.asarray(want_l[k]), rtol=1e-4, atol=1e-6
             )
+
+
+@pytest.mark.multidevice
+def test_lookup_batch_dedup_matches_dense(mesh8, rng):
+    """Dedup all-to-all lookup == dense table[ids], duplicate-heavy batch."""
+    from plotpointe_tpu.parallel.sharded_table import lookup_batch_dedup
+
+    n_rows, d, B = 203, 16, 64
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    # heavy duplication: ids drawn from only 10 distinct rows
+    pool = rng.choice(n_rows, 10, replace=False).astype(np.int32)
+    ids = pool[rng.integers(0, 10, B)].astype(np.int32)
+
+    sharded = device_put_row_sharded(table, mesh8)
+    got = lookup_batch_dedup(mesh8, sharded, jnp.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(got), table[ids])
+
+    # uniform ids too (no duplicates): same contract
+    ids2 = rng.integers(0, n_rows, B).astype(np.int32)
+    got2 = lookup_batch_dedup(mesh8, sharded, jnp.asarray(ids2))
+    np.testing.assert_array_equal(np.asarray(got2), table[ids2])
+
+
+@pytest.mark.multidevice
+def test_lookup_batch_dedup_gradient(mesh8, rng):
+    """Backward scatters dL/drow to the owning shard, duplicates summed."""
+    from plotpointe_tpu.parallel.sharded_table import lookup_batch_dedup
+
+    n_rows, d, B = 96, 8, 40
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    ids = rng.integers(0, 12, B).astype(np.int32)  # duplicates guaranteed
+    w = rng.normal(size=(B, d)).astype(np.float32)
+    sharded = device_put_row_sharded(table, mesh8)
+
+    def loss_sharded(t):
+        return jnp.sum(lookup_batch_dedup(mesh8, t, jnp.asarray(ids)) * w)
+
+    got = np.asarray(jax.grad(loss_sharded)(sharded))[:n_rows]
+    want = np.zeros_like(table)
+    np.add.at(want, ids, w)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.multidevice
+def test_lookup_batch_dedup_capacity_overflow(mesh8, rng):
+    """Ids beyond unique_capacity read zeros (documented overflow contract)."""
+    from plotpointe_tpu.parallel.sharded_table import lookup_batch_dedup
+
+    n_rows, d, B = 64, 4, 16  # 2 ids per device shard
+    table = rng.normal(size=(n_rows, d)).astype(np.float32)
+    ids = np.arange(B, dtype=np.int32)  # all distinct -> 2 uniques per device
+    sharded = device_put_row_sharded(table, mesh8)
+    got = np.asarray(lookup_batch_dedup(mesh8, sharded, jnp.asarray(ids), unique_capacity=1))
+    # per device: the smaller id survives, the larger overflows to zeros
+    for dev in range(8):
+        a, b = 2 * dev, 2 * dev + 1
+        np.testing.assert_array_equal(got[a], table[ids[a]])
+        np.testing.assert_array_equal(got[b], 0.0)

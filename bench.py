@@ -33,17 +33,54 @@ def _err(e: Exception) -> str:
     return f"{type(e).__name__}: {e}"[:200]
 
 
+def _timed_inner(body, *args, n_iter=16, n_rep=3):
+    """True device time per iteration: run `body(carry, i, *args) -> carry`
+    n_iter times inside ONE jitted lax.scan (carry-chained so nothing is
+    elided or overlapped), host-read once per rep, keep the best rep.
+
+    This is the only trustworthy way to time sub-10ms kernels here: each
+    dispatch through the remote-TPU tunnel costs ~5-25 ms of RPC latency and
+    `block_until_ready` returns before execution finishes, so per-call
+    wall-clock loops measure the tunnel, not the kernel. Big arrays must be
+    passed via *args (jit closure constants ship inside the remote-compile
+    payload, which has a hard size limit)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c0, *a):
+        c, _ = jax.lax.scan(lambda c, i: (body(c, i, *a), None), c0, jnp.arange(n_iter))
+        return c
+
+    float(jnp.ravel(run(jnp.float32(0.0), *args))[0])  # compile + drain
+    best = 1e9
+    for _ in range(n_rep):
+        t = time.perf_counter()
+        float(jnp.ravel(run(jnp.float32(0.0), *args))[0])
+        best = min(best, time.perf_counter() - t)
+    return best / n_iter
+
+
+_PEAKS: dict = {}  # measured device ceilings, filled once by main()
+
+
 def _roofline(name: str, seconds: float, flops: float, bytes_accessed: float,
               dtype_key: str = "bf16_tflops") -> dict:
     from plotpointe_tpu.utils.profiling import Roofline
 
     rep = Roofline(name=name, seconds=seconds, flops=flops,
-                   bytes_accessed=bytes_accessed, dtype_tflops_key=dtype_key).report()
-    return {
+                   bytes_accessed=bytes_accessed, dtype_tflops_key=dtype_key,
+                   measured_peaks=_PEAKS or None).report()
+    out = {
         f"mfu_{name}_tflops": round(rep["achieved_tflops"], 2),
         f"mfu_{name}_sol": round(rep["sol_fraction"], 3),
         f"mfu_{name}_bound": rep["bound_by"],
     }
+    if "sol_fraction_dev" in rep:
+        # fraction of what THIS device actually delivers (it is a shared/
+        # virtualized slice well below chip spec — see measure_device_peaks)
+        out[f"mfu_{name}_sol_dev"] = round(min(rep["sol_fraction_dev"], 1.0), 3)
+    return out
 
 
 def _bench_knn(n=63_001, d=384, k=20, impl="pallas", block_rows=1024):
@@ -69,23 +106,24 @@ def _bench_knn(n=63_001, d=384, k=20, impl="pallas", block_rows=1024):
     idx, sim, valid = cosine_knn(xd, k=k, min_similarity=0.3, block_rows=block_rows, impl=impl)
     dt = time.perf_counter() - t0
 
-    # device-only portion (excludes the [N,k] result readback, which on this
-    # environment crosses a ~30 MB/s tunnel relay; real hosts pay PCIe rates)
+    # device-only portion via the in-jit scan harness (excludes the [N,k]
+    # result readback AND the per-dispatch tunnel latency — see _timed_inner)
     if impl == "pallas":
-        jax.block_until_ready(knn_topk_pallas(xd, k))
-        t0 = time.perf_counter()
-        didx, dsim = knn_topk_pallas(xd, k)
-        float(dsim[0, 0])  # host read, not block_until_ready (see _bench_gat_train)
-        dev_dt = time.perf_counter() - t0
+        def knn_body(c, i, x):
+            _, sim = knn_topk_pallas(x + c * 0, k)
+            return c + sim[0, 0] * 1e-9
+
+        dev_dt = _timed_inner(knn_body, xd, n_iter=4, n_rep=2)
         n_pad = ((n + 2048 - 1) // 2048) * 2048
     else:
         n_pad = ((n + block_rows - 1) // block_rows) * block_rows
         xp = jnp.concatenate([xd, jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
-        jax.block_until_ready(_knn_blocks(xp, k, block_rows))  # warmup/compile
-        t0 = time.perf_counter()
-        didx, dsim = _knn_blocks(xp, k, block_rows)
-        float(dsim[0, 0])
-        dev_dt = time.perf_counter() - t0
+
+        def knn_body(c, i, x):
+            _, sim = _knn_blocks(x + c * 0, k, block_rows)
+            return c + sim[0, 0] * 1e-9
+
+        dev_dt = _timed_inner(knn_body, xp, n_iter=4, n_rep=2)
 
     # roofline: the dominant op is the [n_pad, d] x [d, n_pad] similarity
     # matmul at f32-faithful MXU precision
@@ -100,6 +138,7 @@ def _bench_gat_train(
 ):
     """Train-step throughput at Amazon Electronics scale (synthetic ids)."""
     import jax
+    import jax.numpy as jnp
 
     from plotpointe_tpu.config import TrainConfig
     from plotpointe_tpu.data.splits import Splits
@@ -130,24 +169,33 @@ def _bench_gat_train(
 
     # compile
     params, opt_state, loss = trainer._train_step(params, opt_state, jax.random.key(1))
-    jax.block_until_ready(loss)
+    loss_val = float(loss)
 
-    n_steps = 5
-    t0 = time.perf_counter()
-    for s in range(n_steps):
-        params, opt_state, loss = trainer._train_step(params, opt_state, jax.random.key(2 + s))
-    loss_val = float(loss)  # host read: forces the full chain (block_until_ready
-    # has returned early through the remote relay before, yielding bogus times)
-    step_time = (time.perf_counter() - t0) / n_steps
+    # full train step (sample+fwd+bwd+Adam), scan-chained inside one jit
+    def step_body(carry, i):
+        p, o, _ = carry
+        p, o, loss = trainer._train_step(p, o, jax.random.fold_in(jax.random.key(2), i))
+        return (p, o, loss)
 
-    # forward-only (the eval/export/serving path, where the Pallas kernel runs)
-    U, I = trainer._forward_eval(params)
-    float(I[0, 0])
+    @jax.jit
+    def steps_run(p, o):
+        (p, o, loss), _ = jax.lax.scan(
+            lambda c, i: (step_body(c, i), None), (p, o, jnp.float32(0)), jnp.arange(4)
+        )
+        return loss
+
+    float(steps_run(params, opt_state))
     t0 = time.perf_counter()
-    for _ in range(5):
-        U, I = trainer._forward_eval(params)
-    float(I[0, 0])  # host read, same reason as above
-    fwd_time = (time.perf_counter() - t0) / 5
+    float(steps_run(params, opt_state))
+    step_time = (time.perf_counter() - t0) / 4
+
+    # forward-only (the eval/export/serving path, where the Pallas kernel
+    # runs); params ride as scan args, not closure constants
+    def fwd_body(c, i, p):
+        U, I = trainer._forward_eval(jax.tree.map(lambda t: t + c * 0, p))
+        return c + I[0, 0] * 1e-9
+
+    fwd_time = _timed_inner(fwd_body, params, n_iter=8, n_rep=2)
 
     mfu = {}
     if attn_impl == "pallas" and trainer.graph.layout is not None:
@@ -202,20 +250,17 @@ def _bench_spmm(n_users=192_403, n_items=63_001, n_edges=1_689_116, d=64):
     graph = graph.to_device()
     x = jnp.asarray(rng.normal(size=(graph.n_nodes, d)).astype(np.float32))
 
-    def timed(fn, *args, n=10):
-        float(jnp.ravel(fn(*args))[0])  # compile + drain
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        float(jnp.ravel(out)[0])  # host read: block_until_ready does not
-        # actually block on the remote-TPU platform (see _bench_gat_train)
-        return (time.perf_counter() - t0) / n
-
     op = make_spmm(graph, vals)
-    dt_pl = timed(jax.jit(op), x)
-    dt_pl_bwd = timed(jax.jit(jax.grad(lambda xx: op(xx).sum())), x)
-    dt_xla = timed(jax.jit(lambda xx: _seg.spmm(graph, vals_j, xx)), x)
-    dt_xla_bwd = timed(jax.jit(jax.grad(lambda xx: _seg.spmm(graph, vals_j, xx).sum())), x)
+    dt_pl = _timed_inner(lambda c, i, xx: c + op(xx + c * 0)[0, 0] * 1e-9, x, n_iter=8, n_rep=2)
+    dt_pl_bwd = _timed_inner(
+        lambda c, i, xx: c + jax.grad(lambda y: op(y).sum())(xx + c * 0)[0, 0] * 1e-9,
+        x, n_iter=8, n_rep=2)
+    dt_xla = _timed_inner(
+        lambda c, i, xx, v: c + _seg.spmm(graph, v, xx + c * 0)[0, 0] * 1e-9,
+        x, vals_j, n_iter=8, n_rep=2)
+    dt_xla_bwd = _timed_inner(
+        lambda c, i, xx, v: c + jax.grad(lambda y: _seg.spmm(graph, v, y).sum())(xx + c * 0)[0, 0] * 1e-9,
+        x, vals_j, n_iter=8, n_rep=2)
 
     dt = min(dt_pl, dt_xla)
     out = {
@@ -277,14 +322,19 @@ def _bench_lightgcn_step(graph, vals, n_users, n_items, d=64, bs=8192, npp=5):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    p, o, loss = step(params, opt_state, u, i, j)
-    float(loss)  # host read (see _bench_gat_train)
+    @jax.jit
+    def steps_run(p, o, u, i, j):
+        def body(c, _):
+            p, o = c
+            p, o, loss = step(p, o, u, i, j)
+            return (p, o), loss
+        (_, _), losses = jax.lax.scan(body, (p, o), None, length=4)
+        return losses[-1]
+
+    float(steps_run(params, opt_state, u, i, j))
     t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        p, o, loss = step(p, o, u, i, j)
-    float(loss)
-    dt = (time.perf_counter() - t0) / n
+    float(steps_run(params, opt_state, u, i, j))
+    dt = (time.perf_counter() - t0) / 4
     n_batches = 1_689_116 // 8192  # train interactions / batch size
     return {
         "lightgcn_step_ms": round(dt * 1000, 2),
@@ -354,13 +404,11 @@ def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
     out = {}
     for name, fn in (("xla", topk_mips_xla), ("pallas", topk_mips_pallas)):
         try:
-            i, v = fn(items, q, k)
-            jax.block_until_ready(v)
-            t0 = time.perf_counter()
-            for _ in range(10):
-                i, v = fn(items, q, k)
-            float(v[0, 0])  # host read (see _bench_gat_train)
-            dt = (time.perf_counter() - t0) / 10
+            def body(c, i_, it, qq, fn=fn):
+                _, v = fn(it, qq + c.astype(qq.dtype), k)
+                return c + v[0, 0].astype(jnp.float32) * 1e-9
+
+            dt = _timed_inner(body, items, q, n_iter=16, n_rep=2)
             out[f"serve_topk_{name}_ms"] = round(dt * 1000, 3)
             out[f"serve_topk_{name}_qps"] = round(batch / dt)
             if name == "pallas":
@@ -369,6 +417,24 @@ def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
                                      bytes_accessed=n_items * d * 4.0))
         except Exception as e:  # noqa: BLE001
             out[f"serve_topk_{name}_error"] = _err(e)
+
+    # bf16-streamed variant: the production serving config (2x stream traffic
+    # saved; scores re-derived exactly in f32 by the kernel wrapper)
+    try:
+        items_bf = items.astype(jnp.bfloat16)
+        q_bf = q.astype(jnp.bfloat16)
+
+        def body_bf(c, i_, it, qq):
+            _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), k)
+            return c + v[0, 0] * 1e-9
+
+        dt = _timed_inner(body_bf, items_bf, q_bf, n_iter=16, n_rep=2)
+        out["serve_topk_pallas_bf16_ms"] = round(dt * 1000, 3)
+        out["serve_topk_pallas_bf16_qps"] = round(batch / dt)
+        out.update(_roofline("topk_bf16", dt, flops=2.0 * batch * n_items * d,
+                             bytes_accessed=n_items * d * 2.0))
+    except Exception as e:  # noqa: BLE001
+        out["serve_topk_pallas_bf16_error"] = _err(e)
     return out
 
 
@@ -383,6 +449,15 @@ def main():
 
     device = str(jax.devices()[0])
     result = {}
+
+    try:  # measured ceilings for honest SOL fractions (shared device << spec)
+        from plotpointe_tpu.utils.profiling import measure_device_peaks
+
+        _PEAKS.update(measure_device_peaks(_timed_inner))
+        result["device_tflops_measured"] = round(_PEAKS["tflops"], 1)
+        result["device_hbm_gbps_measured"] = round(_PEAKS["hbm_gbps"], 1)
+    except Exception as e:  # noqa: BLE001
+        result["peak_calib_error"] = _err(e)
 
     # -- headline: kNN build, with retries + reduced-config fallback ---------
     knn_ok = False

@@ -288,6 +288,19 @@ def _pipeline_steps(args):
     }
 
 
+def _cmd_anchor(args):
+    from plotpointe_tpu.tools.anchor import main as anchor_main
+
+    argv = ["--scale", args.scale, "--affinity", str(args.affinity),
+            "--epochs", str(args.epochs), "--steps-per-epoch", str(args.steps_per_epoch),
+            "--beyond-steps", str(args.beyond_steps), "--seed", str(args.seed), "--out", args.out]
+    if args.skip_beyond:
+        argv.append("--skip-beyond")
+    if args.gate_baseline:
+        argv += ["--gate-baseline", args.gate_baseline]
+    anchor_main(argv)
+
+
 def _cmd_pipeline(args):
     """Run the full pipeline: the reference's run_pipeline_v2.sh as one
     orchestrated command. --in-process runs stages as function calls in this
@@ -610,6 +623,19 @@ def main(argv=None):
     p = sub.add_parser("drift", help="aggregate serving telemetry into drift stats")
     p.add_argument("--telemetry-dir", required=True)
     p.set_defaults(fn=_cmd_drift)
+
+    p = sub.add_parser("anchor", help="quality-anchor run: reference GAT protocol on "
+                                      "full-shape Amazon-calibrated synthetic data + controlled baselines")
+    p.add_argument("--scale", choices=["full", "mini"], default="full")
+    p.add_argument("--affinity", type=float, default=3.0)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--steps-per-epoch", type=int, default=1)
+    p.add_argument("--beyond-steps", type=int, default=32)
+    p.add_argument("--skip-beyond", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="tmp/anchor")
+    p.add_argument("--gate-baseline", default=None)
+    p.set_defaults(fn=_cmd_anchor)
 
     p = sub.add_parser("pipeline", help="run the full synth->train pipeline in one command")
     p.add_argument("--workdir", required=True)

@@ -23,12 +23,25 @@ def synthetic_interactions(
     seed: int = 0,
     concentration: float = 1.2,
     return_factors: bool = False,
+    affinity_strength: float = 3.0,
+    user_sigma: Optional[float] = None,
+    item_sigma: Optional[float] = None,
+    rating_marginal: str = "affinity",  # {affinity, amazon}
+    ts_mode: str = "uniform",  # {uniform, recency}
 ):
     """Build an interactions table (user_id, asin, rating, ts, verified, helpful).
 
     Users and items get latent factors; each user interacts mostly with items
     aligned to their factor vector, sampled via per-user softmax over a random
     candidate pool. Degrees follow a Zipf-ish law via user activity weights.
+
+    Calibration knobs (see amazon_calibrated_interactions for the full-shape
+    preset): `user_sigma`/`item_sigma` set the lognormal degree-weight spreads
+    directly; `affinity_strength` trades popularity-driven choice (0 = pure
+    popularity) against latent-factor affinity; `rating_marginal="amazon"`
+    draws ratings from the Amazon-Electronics-typical 5-star-skewed marginal
+    (affinity-shifted); `ts_mode="recency"` draws timestamps exponentially
+    biased toward the end of a 14-year span (review volume grows over time).
     """
     rng = np.random.default_rng(seed)
 
@@ -42,11 +55,11 @@ def synthetic_interactions(
     # items (mean 21.6, sigma 65.3, PHASE0_REPORT.md:172). Raw zipf draws as
     # weights produce single items owning >5% of all interactions, which no
     # real catalog has and which destroys popularity-signal calibration.
-    activity = rng.lognormal(mean=0.0, sigma=0.9 * concentration / 1.2, size=n_users)
+    activity = rng.lognormal(mean=0.0, sigma=user_sigma or 0.9 * concentration / 1.2, size=n_users)
     activity = activity / activity.sum()
     users = rng.choice(n_users, size=n_interactions, p=activity)
 
-    popularity = rng.lognormal(mean=0.0, sigma=1.35 * concentration / 1.2, size=n_items)
+    popularity = rng.lognormal(mean=0.0, sigma=item_sigma or 1.35 * concentration / 1.2, size=n_items)
     popularity = popularity / popularity.sum()
 
     # Vectorized affinity-biased item choice: sample C candidates by popularity,
@@ -55,14 +68,26 @@ def synthetic_interactions(
     cand = rng.choice(n_items, size=(n_interactions, C), p=popularity)
     aff = np.einsum("nf,ncf->nc", u_fac[users], i_fac[cand]).astype(np.float32)
     gumbel = rng.gumbel(size=(n_interactions, C)).astype(np.float32)
-    pick = np.argmax(aff * 3.0 + gumbel, axis=1)
+    pick = np.argmax(aff * affinity_strength + gumbel, axis=1)
     items = cand[np.arange(n_interactions), pick]
 
-    # Ratings correlate with affinity; clip to [1, 5]
     a = np.einsum("nf,nf->n", u_fac[users], i_fac[items])
-    rating = np.clip(np.round(3.0 + 2.0 * a + rng.normal(scale=0.7, size=n_interactions)), 1, 5)
+    if rating_marginal == "amazon":
+        # Amazon-Electronics-typical star skew (~59/18/9/5/9% for 5..1),
+        # affinity-shifted so ratings still carry signal
+        base = rng.choice([5.0, 4.0, 3.0, 2.0, 1.0], size=n_interactions,
+                          p=[0.59, 0.18, 0.09, 0.05, 0.09])
+        rating = np.clip(np.round(base + 1.2 * a + rng.normal(scale=0.4, size=n_interactions)), 1, 5)
+    else:
+        # Ratings correlate with affinity; clip to [1, 5]
+        rating = np.clip(np.round(3.0 + 2.0 * a + rng.normal(scale=0.7, size=n_interactions)), 1, 5)
 
-    ts = rng.integers(1_100_000_000, 1_500_000_000, size=n_interactions)
+    if ts_mode == "recency":
+        span = 1_500_000_000 - 1_060_000_000  # ~2003-2017
+        back = rng.exponential(scale=span / 4.0, size=n_interactions)
+        ts = (1_500_000_000 - np.minimum(back, span)).astype(np.int64)
+    else:
+        ts = rng.integers(1_100_000_000, 1_500_000_000, size=n_interactions)
 
     import pandas as pd
 
@@ -81,6 +106,45 @@ def synthetic_interactions(
     if return_factors:
         return df, (u_fac, i_fac)
     return df
+
+
+def amazon_calibrated_interactions(
+    n_users: int = 192_403,
+    n_items: int = 63_001,
+    n_interactions: int = 1_689_116,
+    n_factors: int = 16,
+    seed: int = 0,
+    affinity_strength: float = 3.0,
+    return_factors: bool = False,
+):
+    """Full-Amazon-Electronics-shape dataset (DATA_BASELINE.md:13-17 exact
+    cardinalities) with degree marginals tuned to the reference's published
+    U-I graph stats (PHASE0_REPORT.md:172: user deg 7.07 +- 6.97, item deg
+    21.60 +- 65.34 over DEDUPED pairs), Amazon-typical rating skew, and
+    recency-biased timestamps.
+
+    Lognormal sigmas derive from the degree CVs: CV_user ~= 0.99 ->
+    sigma^2 = ln(1+CV^2) ~= 0.68; CV_item ~= 3.02 -> sigma^2 ~= 2.32. The
+    multinomial thinning of finite sampling adds variance at the low-degree
+    end, so the realized sigmas land close to (slightly above) target —
+    anchor runs report the realized stats next to the reference's.
+
+    `affinity_strength` is the controlled variable for the quality anchor:
+    0.0 gives a pure-popularity dataset (rank-by-degree is near-optimal),
+    3.0 the default latent-factor blend."""
+    return synthetic_interactions(
+        n_users=n_users,
+        n_items=n_items,
+        n_interactions=n_interactions,
+        n_factors=n_factors,
+        seed=seed,
+        return_factors=return_factors,
+        affinity_strength=affinity_strength,
+        user_sigma=0.83,
+        item_sigma=1.52,
+        rating_marginal="amazon",
+        ts_mode="recency",
+    )
 
 
 def synthetic_catalog(interactions, n_extra_items: int = 0, seed: int = 0, item_factors: Optional[np.ndarray] = None):

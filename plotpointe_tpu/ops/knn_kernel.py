@@ -50,11 +50,12 @@ def _knn_kernel(br: int, bc: int, n_rounds: int, n: int):
             run_k[:] = jnp.full((br, K_PAD), INT_MIN, jnp.int32)
             run_i[:] = jnp.zeros((br, K_PAD), jnp.int32)
 
-        # HIGH precision (bf16x3, ~2^-21 relative error): same rationale and
-        # budget as the XLA path (graphs/knn.py::_knn_blocks) — selection-grade
-        # precision; exact f32 re-score happens in the wrapper.
+        # HIGHEST precision (f32-faithful multi-pass): Mosaic supports only
+        # DEFAULT/HIGHEST dot precisions; selection must not lose neighbours
+        # to bf16 rounding, and the exact f32 re-score in the wrapper only
+        # repairs scores, not a selection that dropped the true neighbour.
         scores = jnp.dot(xr_ref[:], xc_ref[:].T, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGH)  # [BR, BC]
+                         precision=jax.lax.Precision.HIGHEST)  # [BR, BC]
         row_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0) + r * br
         col_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1) + c * bc
         scores = jnp.where(col_g == row_g, NEG_INF, scores)  # exclude self

@@ -1,0 +1,185 @@
+"""Quality-anchor experiment: the reference's GAT protocol on full-shape
+Amazon-calibrated synthetic data, with controlled baselines.
+
+The reference's real Amazon Electronics blobs are absent, so its published
+quality band (fused+BPR GAT: NDCG@20 0.0160 / Recall@20 0.0433,
+`docs/PHASE5_ABLATIONS_REPORT.md:20`) cannot be literally replayed. This tool
+closes the anchor the controlled way instead:
+
+  1. generate the FULL reference shape (192,403 users x 63,001 items x
+     1,689,116 interactions) with degree/rating/temporal marginals calibrated
+     to the published stats (data/synthetic.py::amazon_calibrated_interactions);
+  2. score three reference-free baselines under the EXACT eval protocol
+     (chronological leave-last, 1+1000 sampled negatives, strict ranks):
+     chance (random scores), popularity (rank by train item degree), and
+     factor oracle (the generator's own latent factors — the data's ceiling);
+  3. train GAT fused/BPR under the exact reference protocol (20 epochs x ONE
+     200k-sample Adam step) and under the beyond-parity schedule;
+  4. emit anchor.json: realized dataset marginals + all metrics + the
+     reference band, and exit 0/3 as a promotion gate against
+     manifests/anchor_baseline.json.
+
+Interpretation contract (why this is a defensible parity claim): on real
+Amazon data the reference's band sits ~2-3x above chance (chance NDCG@20
+~= 0.006 at 1+1000). If the popularity baseline on the calibrated data lands
+in that same ~2-3x-chance band and the protocol-exact GAT tracks or beats
+popularity, the reference band is explained by popularity-dominated signal
+at matched marginals; any residual gap is a data property (latent-factor
+mix), not an implementation one. The `--affinity` knob sweeps that property.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _eval_scores(U, I, splits, key, neg_k=1000):
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.data.splits import padded_positives
+    from plotpointe_tpu.train.evaluate import sampled_eval
+
+    pos_table, deg = padded_positives(splits, max_degree=512)
+    return sampled_eval(
+        jnp.asarray(U), jnp.asarray(I), splits.test_u, splits.test_i,
+        jnp.asarray(pos_table), jnp.asarray(deg), key, neg_k=neg_k,
+    )
+
+
+def run_anchor(
+    scale: str = "full",
+    affinity: float = 3.0,
+    epochs: int = 20,
+    steps_per_epoch: int = 1,
+    beyond_steps: int = 32,
+    seed: int = 0,
+    out: str = "tmp/anchor",
+    skip_beyond: bool = False,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.config import TrainConfig
+    from plotpointe_tpu.data.splits import build_node_maps, build_splits
+    from plotpointe_tpu.data.synthetic import (
+        amazon_calibrated_interactions,
+        synthetic_features,
+    )
+    from plotpointe_tpu.graphs.csr import build_bipartite_graph
+    from plotpointe_tpu.models.gat import GATModel
+    from plotpointe_tpu.train.trainer import Trainer
+
+    t0 = time.time()
+    shape = dict(n_users=192_403, n_items=63_001, n_interactions=1_689_116)
+    if scale == "mini":
+        shape = dict(n_users=20_000, n_items=8_000, n_interactions=200_000)
+    df, (u_fac, i_fac) = amazon_calibrated_interactions(
+        **shape, seed=seed, affinity_strength=affinity, return_factors=True
+    )
+
+    pairs = df.drop_duplicates(subset=["user_id", "asin"])
+    ud = pairs.groupby("user_id").size().values
+    idg = pairs.groupby("asin").size().values
+    realized = {
+        "rows": int(len(df)),
+        "users": int(df.user_id.nunique()),
+        "items": int(df.asin.nunique()),
+        "user_deg_mean": round(float(ud.mean()), 2),
+        "user_deg_std": round(float(ud.std()), 2),
+        "item_deg_mean": round(float(idg.mean()), 2),
+        "item_deg_std": round(float(idg.std()), 2),
+        "reference_marginals": {"user": [7.07, 6.97], "item": [21.60, 65.34],
+                                "note": "reference stats are over the TRAIN split's deduped pairs"},
+    }
+
+    u2i, i2i = build_node_maps(df)
+    splits = build_splits(df, u2i, i2i)
+    graph = build_bipartite_graph(
+        splits.train_u, splits.train_i, splits.n_users, splits.n_items, weight=splits.train_w
+    )
+    # item factor rows in interacted-item order (asin B{idx:09d} encodes the row)
+    asins = list(__import__("pandas").unique(df["asin"]))
+    fac_rows = np.stack([i_fac[int(a[1:])] for a in asins])
+    feats = synthetic_features(splits.n_items, 128, seed=seed, factors=fac_rows)
+
+    results = {"dataset": realized, "affinity_strength": affinity, "scale": scale,
+               "protocol": "leave-last chronological, 1+1000 sampled negatives, strict rank",
+               "reference_band": {"ndcg@20": 0.0160, "recall@20": 0.0433,
+                                  "source": "PHASE5_ABLATIONS_REPORT.md:20 (fused+BPR, real data)"}}
+
+    # -- reference-free baselines under the exact protocol --------------------
+    rng = np.random.default_rng(seed + 7)
+    key = jax.random.key(seed + 11)
+    n_u, n_i = splits.n_users, splits.n_items
+    results["chance"] = {k: round(v, 4) for k, v in _eval_scores(
+        np.ones((n_u, 1), np.float32),
+        rng.normal(size=(n_i, 1)).astype(np.float32), splits, key).items()}
+    train_pop = np.bincount(splits.train_i, minlength=n_i).astype(np.float32)
+    results["popularity"] = {k: round(v, 4) for k, v in _eval_scores(
+        np.ones((n_u, 1), np.float32),
+        np.log1p(train_pop)[:, None], splits, key).items()}
+    u_rows = np.stack([u_fac[int(u[1:])] for u in __import__("pandas").unique(df["user_id"])])
+    results["factor_oracle"] = {k: round(v, 4) for k, v in _eval_scores(
+        u_rows, fac_rows, splits, key).items()}
+
+    # -- GAT fused/BPR, exact reference protocol ------------------------------
+    def train_gat(steps, tag):
+        cfg = TrainConfig(model_family="gat", hidden_dim=128, layers=2, heads=1,
+                          epochs=epochs, samples_per_epoch=200_000, steps_per_epoch=steps,
+                          item_features="fused", loss="bpr", seed=seed)
+        model = GATModel(n_users=n_u, n_items=n_i, feat_dim=128, hidden_dim=128, n_layers=2)
+        tr = Trainer(model, cfg, graph, splits, item_feats=feats)
+        res = tr.fit()
+        results[tag] = {k: round(float(v), 4) for k, v in res["test"].items()}
+        results[tag]["wall_s"] = round(res.get("wall_time_s", time.time() - t0), 1)
+
+    train_gat(steps_per_epoch, "gat_reference_protocol")
+    if not skip_beyond:
+        train_gat(beyond_steps, f"gat_beyond_parity_{beyond_steps}steps")
+
+    out_p = Path(out)
+    out_p.mkdir(parents=True, exist_ok=True)
+    (out_p / "anchor.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=["full", "mini"], default="full")
+    ap.add_argument("--affinity", type=float, default=3.0)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--steps-per-epoch", type=int, default=1)
+    ap.add_argument("--beyond-steps", type=int, default=32)
+    ap.add_argument("--skip-beyond", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="tmp/anchor")
+    ap.add_argument("--gate-baseline", default=None,
+                    help="json with metric bands; exit 3 when outside them")
+    args = ap.parse_args(argv)
+    results = run_anchor(
+        scale=args.scale, affinity=args.affinity, epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch, beyond_steps=args.beyond_steps,
+        seed=args.seed, out=args.out, skip_beyond=args.skip_beyond,
+    )
+    if args.gate_baseline:
+        spec = json.loads(Path(args.gate_baseline).read_text())
+        fails = []
+        for path, lo in spec.get("min", {}).items():
+            sect, metric = path.split(".")
+            got = results.get(sect, {}).get(metric)
+            if got is None or got < lo:
+                fails.append(f"{path}: {got} < {lo}")
+        if fails:
+            print(json.dumps({"anchor_gate": "FAIL", "violations": fails}))
+            raise SystemExit(3)
+        print(json.dumps({"anchor_gate": "PASS"}))
+
+
+if __name__ == "__main__":
+    main()

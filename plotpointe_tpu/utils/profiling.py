@@ -38,20 +38,28 @@ def detect_generation() -> str:
 
 @dataclass
 class Roofline:
-    """Achieved vs attainable for one kernel invocation."""
+    """Achieved vs attainable for one kernel invocation.
+
+    `measured_peaks`: optional {"tflops": float, "hbm_gbps": float} from
+    measure_device_peaks(). On shared/virtualized devices (this environment's
+    remote TPU delivers ~40% of spec MXU and ~10-20% of spec HBM bandwidth)
+    the spec-based sol_fraction undersells the kernel; sol_fraction_dev is
+    the fraction of what the device ACTUALLY delivers on a pure-stream /
+    pure-matmul calibration loop."""
 
     name: str
     seconds: float
     flops: float = 0.0
     bytes_accessed: float = 0.0
     dtype_tflops_key: str = "bf16_tflops"
+    measured_peaks: Optional[Dict] = None
 
     def report(self, gen: Optional[str] = None) -> Dict:
         spec = TPU_SPECS[gen or detect_generation()]
         t_compute = self.flops / (spec[self.dtype_tflops_key] * 1e12) if self.flops else 0.0
         t_memory = self.bytes_accessed / (spec["hbm_gbps"] * 1e9) if self.bytes_accessed else 0.0
         bound = max(t_compute, t_memory)
-        return {
+        out = {
             "kernel": self.name,
             "seconds": self.seconds,
             "achieved_tflops": self.flops / self.seconds / 1e12 if self.seconds else 0.0,
@@ -60,6 +68,58 @@ class Roofline:
             "sol_fraction": bound / self.seconds if self.seconds and bound else 0.0,
             "bound_by": "compute" if t_compute >= t_memory else "memory",
         }
+        if self.measured_peaks:
+            tc = self.flops / (self.measured_peaks["tflops"] * 1e12) if self.flops else 0.0
+            tm = self.bytes_accessed / (self.measured_peaks["hbm_gbps"] * 1e9) if self.bytes_accessed else 0.0
+            b = max(tc, tm)
+            out["sol_fraction_dev"] = b / self.seconds if self.seconds and b else 0.0
+        return out
+
+
+def measure_device_peaks(timed_inner=None) -> Dict:
+    """Calibrate what THIS device actually delivers: a bf16 4096^3 matmul
+    loop (MXU ceiling) and a 256 MB flip loop (read+write HBM ceiling), both
+    scan-chained inside one jit. Returns {"tflops", "hbm_gbps"}."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    if timed_inner is None:
+        def timed_inner(body, *args, n_iter=8, n_rep=2):
+            @jax.jit
+            def run(c0, *a):
+                c, _ = jax.lax.scan(lambda c, i: (body(c, i, *a), None), c0, jnp.arange(n_iter))
+                return c
+
+            float(jnp.ravel(run(jnp.float32(0.0), *args))[0])
+            best = 1e9
+            for _ in range(n_rep):
+                t = time.perf_counter()
+                float(jnp.ravel(run(jnp.float32(0.0), *args))[0])
+                best = min(best, time.perf_counter() - t)
+            return best / n_iter
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32)).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def mm_body(c, i, a, b):
+        y = jnp.dot(a + c.astype(jnp.bfloat16), b, preferred_element_type=jnp.float32)
+        return c + y[0, 0] * 1e-12
+
+    dt_mm = timed_inner(mm_body, a, b)
+    del a, b
+
+    x = jnp.asarray(rng.normal(size=(16 * 1024, 4096)).astype(np.float32))
+
+    def flip_body(c, i, x):
+        return c + jnp.flip(x + c, axis=0)[0, 0] * 1e-9
+
+    dt_flip = timed_inner(flip_body, x)
+    return {
+        "tflops": 2 * 4096**3 / dt_mm / 1e12,
+        "hbm_gbps": 2 * 16 * 1024 * 4096 * 4 / dt_flip / 1e9,
+    }
 
 
 @contextlib.contextmanager

@@ -135,3 +135,69 @@ def test_image_pixel_stage(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
     kept = store.load_parquet(str(tmp_path / "out" / "img_items.parquet"))
     assert list(kept["asin"]) == ["a0", "a1", "a2"]
+
+
+# -- real-checkpoint fixtures (tools/fetch_fixtures.py) -----------------------
+# Generated on a network-enabled machine; skipped when absent. These close the
+# loop numerically: converted-JAX towers reproduce the REAL
+# all-MiniLM-L6-v2 / clip-vit-base-patch32 outputs the reference embeds with
+# (embed_text.py:109-115, embed_image.py:23-31), not just random-init parity.
+import os
+from pathlib import Path
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _unflatten_params(blob):
+    tree = {}
+    for k in blob.files:
+        if not k.startswith("param:"):
+            continue
+        parts = k[len("param:"):].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(blob[k], jnp.float32)
+
+    def fix(n):
+        if isinstance(n, dict):
+            if n and all(s.isdigit() for s in n):
+                return [fix(n[str(i)]) for i in range(len(n))]
+            return {k: fix(v) for k, v in n.items()}
+        return n
+
+    return fix(tree)
+
+
+def _cos_rows(a, b):
+    a = a / np.linalg.norm(a, axis=1, keepdims=True)
+    b = b / np.linalg.norm(b, axis=1, keepdims=True)
+    return (a * b).sum(1)
+
+
+@pytest.mark.skipif(not (FIXTURES / "minilm_real.npz").exists(),
+                    reason="real-weight fixture absent (run tools/fetch_fixtures.py with network)")
+def test_real_minilm_checkpoint_parity():
+    blob = np.load(FIXTURES / "minilm_real.npz")
+    params = _unflatten_params(blob)
+    ids = blob["probe_ids"]
+    mask = blob["probe_mask"]
+    enc = TransformerTextEncoder(
+        vocab_size=30522, hidden=384, n_layers=6, heads=12, ffn=1536, max_len=ids.shape[1]
+    )
+    got = np.asarray(enc.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+    cos = _cos_rows(got, blob["ref_pooled"])
+    assert (cos >= 0.999).all(), cos
+
+
+@pytest.mark.skipif(not (FIXTURES / "clip_real.npz").exists(),
+                    reason="real-weight fixture absent (run tools/fetch_fixtures.py with network)")
+def test_real_clip_checkpoint_parity():
+    blob = np.load(FIXTURES / "clip_real.npz")
+    params = _unflatten_params(blob)
+    enc = ViTImageEncoder(
+        image_size=224, patch=32, hidden=768, n_layers=12, heads=12, ffn=3072, out_dim=512
+    )
+    got = np.asarray(enc.apply(params, jnp.asarray(blob["probe_pixels"])))
+    cos = _cos_rows(got, blob["ref_embeds"])
+    assert (cos >= 0.999).all(), cos

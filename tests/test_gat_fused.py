@@ -4,6 +4,8 @@ reference; the bf16 production path is covered by a looser check."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow_interpret
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ Mosaic on real TPU."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow_interpret
+
 import jax
 import jax.numpy as jnp
 

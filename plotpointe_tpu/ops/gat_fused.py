@@ -338,7 +338,10 @@ def attention_v3(
     def prep(h):
         h2 = h[:, 0, :]
         hp = jnp.concatenate([h2, jnp.zeros((1, d), h2.dtype)], axis=0)
-        hs = hp[L.src].astype(hs_dtype)  # [E_al, D]
+        # cast FIRST, then gather: XLA's fused gather+convert falls off the
+        # fast path, and bf16 rows halve the gather traffic (measured ~4.5x
+        # on the spmm kernel's identical gather, ops/spmm_kernel.py)
+        hs = hp.astype(hs_dtype)[L.src]  # [E_al, D]
         pad_rows = n_tiles * nb - (n + 1)
         h_tiles = jnp.concatenate([hp, jnp.zeros((pad_rows, d), hp.dtype)], axis=0)
         return hs, h_tiles

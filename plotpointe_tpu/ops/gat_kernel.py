@@ -237,7 +237,8 @@ def segment_softmax_attention_pallas(
 ) -> jax.Array:
     """Same contract as ops.segment.segment_softmax_attention (impl='xla');
     forward aggregation runs through the fused Pallas kernels. Dispatch:
-    aligned layout with d % 128 == 0 -> v3 (fully fused fwd+bwd,
+    aligned layout -> v3 (fully fused fwd+bwd, feature dim lane-padded to 128
+    when needed — covers the reference's hidden-dim ablations,
     ops/gat_fused.py; heads > 1 run one independent fused pass per head —
     heads are embarrassingly parallel in GAT, so H kernel launches keep full
     MXU tiles with zero cross-head traffic, covering the reference's --heads
@@ -245,27 +246,34 @@ def segment_softmax_attention_pallas(
     (fused fwd, XLA bwd); otherwise -> v1 (fused reduction only)."""
     n, heads, d = h.shape
 
-    if d % 128 == 0 and graph.layout is not None:
+    if graph.layout is not None:
         from plotpointe_tpu.ops.gat_fused import attention_v3
 
+        # lane-pad the feature dim to the TPU lane width so the fused path
+        # covers the reference's hidden-dim ablations (e.g. 64): zero feature
+        # columns contribute 0 to the logits and slice away after
+        d_al = ((d + 127) // 128) * 128
+        if d_al != d:
+            pad = ((0, 0), (0, 0), (0, d_al - d))
+            h_p = jnp.pad(h, pad)
+            a_s_p = jnp.pad(a_src, ((0, 0), (0, d_al - d)))
+            a_d_p = jnp.pad(a_dst, ((0, 0), (0, d_al - d)))
+        else:
+            h_p, a_s_p, a_d_p = h, a_src, a_dst
+
         if heads == 1:
-            return attention_v3(h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng)
+            out = attention_v3(h_p, a_s_p, a_d_p, graph, dropout_rate=dropout_rate, rng=rng)
+            return out[..., :d]
         outs = [
             attention_v3(
-                h[:, hi : hi + 1, :], a_src[hi : hi + 1], a_dst[hi : hi + 1], graph,
+                h_p[:, hi : hi + 1, :], a_s_p[hi : hi + 1], a_d_p[hi : hi + 1], graph,
                 dropout_rate=dropout_rate,
                 rng=jax.random.fold_in(rng, hi) if rng is not None else None,
             )
             for hi in range(heads)
         ]
-        return jnp.concatenate(outs, axis=1)
+        return jnp.concatenate(outs, axis=1)[..., :d]
     if graph.chunk_base is None:
-        if graph.layout is not None:
-            # layout-only graph but d % 128 != 0: fall back to the XLA
-            # reference rather than demanding the v1/v2 tiling too
-            return _seg.segment_softmax_attention(
-                h, a_src, a_dst, graph, dropout_rate=dropout_rate, rng=rng, impl="xla"
-            )
         raise ValueError(
             "graph needs tiling metadata: call graph.with_layout() (or with_tiling()) before to_device()"
         )
@@ -283,7 +291,7 @@ def _attention_v2(h, a_src, a_dst, graph: Graph, dropout_rate: float, rng):
     def fwd(h, a_src, a_dst, rng):
         h2 = h[:, 0, :]  # [N, D]
         hp = jnp.concatenate([h2, jnp.zeros((1, d), h2.dtype)], axis=0)  # sentinel row
-        hs = hp[graph.src].astype(jnp.bfloat16)  # the single [E, D] gather, bf16
+        hs = hp.astype(jnp.bfloat16)[graph.src]  # cast FIRST, then gather (fast path)
         pad_rows = n_tiles * nb - (n + 1)
         h_tiles = jnp.concatenate([hp, jnp.zeros((pad_rows, d), hp.dtype)], axis=0)
         if dropout_rate > 0.0 and rng is not None:

@@ -230,3 +230,27 @@ def test_lightgcn_trainer_uses_static_spmm(rng):
             jnp.int32(0), jax.random.key(1))
         losses[impl] = float(loss)
     assert abs(losses["xla"] - losses["pallas"]) < 1e-4, losses
+
+
+@pytest.mark.parametrize("d,heads", [(64, 1), (64, 2)])
+def test_fused_dispatch_lane_pads_small_d(rng, d, heads):
+    """d % 128 != 0 (the reference's hidden-dim ablations) now rides the
+    fully fused v3 path via lane padding — fwd and grads match XLA."""
+    from plotpointe_tpu.ops.gat_kernel import segment_softmax_attention_pallas
+
+    g = _graph(rng, n_nodes=120, n_edges=900)
+    h = jnp.asarray(rng.normal(size=(g.n_nodes, heads, d)).astype(np.float32))
+    a_s = jnp.asarray(rng.normal(size=(heads, d)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(heads, d)).astype(np.float32))
+
+    want = np.asarray(segment_softmax_attention(h, a_s, a_d, g, impl="xla"))
+    got = np.asarray(segment_softmax_attention_pallas(h, a_s, a_d, g))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=6e-2)  # bf16 kernel default
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999
+
+    gx = jax.grad(lambda *a: jnp.sum(segment_softmax_attention(*a, g, impl="xla") ** 2),
+                  argnums=(0, 1, 2))(h, a_s, a_d)
+    gp = jax.grad(lambda *a: jnp.sum(segment_softmax_attention_pallas(*a, g) ** 2),
+                  argnums=(0, 1, 2))(h, a_s, a_d)
+    for a, b in zip(gx, gp):
+        assert np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1] > 0.999

@@ -210,6 +210,31 @@ def _bench_gat_train(
     return step_time, fwd_time, edges_per_sec, loss_val, mfu
 
 
+def _bench_gat_heads2(n_users=192_403, n_items=63_001, n_edges=1_689_116, d=128):
+    """heads=2 attention forward at Amazon scale (the reference's --heads
+    ablation, train_gat_pyg.py:203): per-head fused v3 passes."""
+    import jax
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.graphs.csr import build_bipartite_graph
+    from plotpointe_tpu.ops.gat_kernel import segment_softmax_attention_pallas
+
+    rng = np.random.default_rng(0)
+    tu = rng.integers(0, n_users, n_edges).astype(np.int32)
+    ti = rng.integers(0, n_items, n_edges).astype(np.int32)
+    g = build_bipartite_graph(tu, ti, n_users, n_items).with_layout().to_device()
+    h = jnp.asarray(rng.normal(size=(g.n_nodes, 2, d)).astype(np.float32) * 0.1)
+    a_s = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
+    a_d = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
+
+    def body(c, i, h, a_s, a_d):
+        out = segment_softmax_attention_pallas(h + c * 0, a_s, a_d, g)
+        return c + out[0, 0, 0] * 1e-9
+
+    dt = _timed_inner(body, h, a_s, a_d, n_iter=8, n_rep=2)
+    return {"gat_heads2_fwd_ms": round(dt * 1000, 2)}
+
+
 def _bench_ui_build(n_users=192_403, n_items=63_001, n_edges=1_689_116):
     """U-I bipartite CSR build at the reference's exact scale: 11.02 s on
     n1-standard-4 (`PHASE0_REPORT.md:172-173`). Host-side (native C++ counting
@@ -503,6 +528,11 @@ def main():
     if best_eps:
         # full train step (sampling+fwd+bwd+Adam) over 2*|E| directed edges x layers
         result["gat_train_edges_per_sec"] = round(best_eps)
+
+    try:
+        result.update(_bench_gat_heads2())
+    except Exception as e:  # noqa: BLE001
+        result["gat_heads2_error"] = _err(e)
 
     try:
         ui_s = _bench_ui_build()

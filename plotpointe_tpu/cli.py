@@ -301,6 +301,38 @@ def _cmd_anchor(args):
     anchor_main(argv)
 
 
+_STAGE_SENTINELS = {
+    # stage name -> output artifact proving completion (relative to workdir)
+    "synth": "staging/interactions.parquet",
+    "embed_text": "embeddings/txt.npy",
+    "merge_images": "embeddings/img.npy",
+    "fuse": "embeddings/fused.npy",
+    "build_ui": "graphs/ui_edges.npz",
+    "subset_fused": "embeddings/fused_interacted.npy",
+    "subset_txt": "embeddings/txt_interacted.npy",
+    "build_knn": "graphs/ii_edges_fused.npz",
+}
+
+
+def _stage_done(args, name: str, step=None) -> bool:
+    """--continue support (the reference's auto_continue_pipeline.sh state
+    polling, as artifact-presence checks): a stage is skippable when its
+    output artifact already exists. validate/train always rerun (cheap /
+    resume-aware respectively)."""
+    import os
+
+    if not getattr(args, "cont", False):
+        return False
+    if name == "embed_image" and step is not None:
+        # chunked: sentinel is the chunk file (or img.npy for the unchunked run)
+        sfx = ""
+        if "--chunk-id" in step:
+            sfx = f"_chunk{step[step.index('--chunk-id') + 1]}"
+        return os.path.exists(f"{args.workdir}/embeddings/img{sfx}.npy")
+    rel = _STAGE_SENTINELS.get(name)
+    return rel is not None and os.path.exists(f"{args.workdir}/{rel}")
+
+
 def _cmd_pipeline(args):
     """Run the full pipeline: the reference's run_pipeline_v2.sh as one
     orchestrated command. --in-process runs stages as function calls in this
@@ -310,13 +342,15 @@ def _cmd_pipeline(args):
     parallel_image_embeddings.sh:33-76 (text || 4-way-chunked image
     embeddings, then graph builds overlapped). Concurrent stages are forced
     onto CPU (the TPU admits one process at a time; the reference's analog
-    is its CPU/GPU stage overlap)."""
+    is its CPU/GPU stage overlap). --continue skips stages whose output
+    artifacts already exist (auto_continue_pipeline.sh semantics)."""
     import subprocess
     import time as _time
 
     base = [sys.executable, "-m", "plotpointe_tpu.cli"]
     S = _pipeline_steps(args)
     t_start = _time.time()
+    skipped = []
 
     if args.parallel:
         if args.in_process:
@@ -326,15 +360,19 @@ def _cmd_pipeline(args):
 
         cpu_env = {**os.environ, "PLOTPOINTE_PLATFORM": "cpu"}
 
-        def run(step, env=None):
+        def run(step, env=None, name=None):
+            if name and _stage_done(args, name, step):
+                skipped.append(name)
+                print(f"[pipeline] skip (artifact exists): {name}", flush=True)
+                return
             t0 = _time.time()
             print(f"[pipeline] {' '.join(step)}", flush=True)
             subprocess.run(base + step, check=True, env=env)
             print(f"[pipeline] done in {_time.time() - t0:.1f}s: {step[0]}", flush=True)
 
         def lane(steps, env=None):
-            for s in steps:
-                run(s, env=env)
+            for name, s in steps:
+                run(s, env=env, name=name)
 
         def concurrent(lanes, env=None):
             errs = []
@@ -353,27 +391,36 @@ def _cmd_pipeline(args):
             if errs:
                 raise errs[0]
 
-        run(S["synth"])
+        run(S["synth"], name="synth")
         run(S["validate"])
         # text || image chunks (CPU encoders, reference: parallel_image_embeddings.sh)
-        concurrent([[S["embed_text"]]] + [[c] for c in S["embed_image"]], env=cpu_env)
+        concurrent([[("embed_text", S["embed_text"])]]
+                   + [[("embed_image", c)] for c in S["embed_image"]], env=cpu_env)
         for m in S["merge_images"]:
-            run(m)
-        run(S["fuse"])
+            run(m, name="merge_images")
+        run(S["fuse"], name="fuse")
         # graph builds overlap: U-I || (subset fused -> kNN) || subset txt
         concurrent([
-            [S["build_ui"]],
-            [S["subset_fused"], S["build_knn"]],
-            [S["subset_txt"]],
+            [("build_ui", S["build_ui"])],
+            [("subset_fused", S["subset_fused"]), ("build_knn", S["build_knn"])],
+            [("subset_txt", S["subset_txt"])],
         ], env=cpu_env)
         run(S["train"])
         print(json.dumps({"pipeline": "complete", "workdir": args.workdir,
-                          "parallel": True, "wall_s": round(_time.time() - t_start, 2)}))
+                          "parallel": True, "skipped": skipped,
+                          "wall_s": round(_time.time() - t_start, 2)}))
         return
 
-    steps = [S["synth"], S["validate"], S["embed_text"], *S["embed_image"], *S["merge_images"],
-             S["fuse"], S["build_ui"], S["subset_fused"], S["subset_txt"], S["build_knn"], S["train"]]
-    for step in steps:
+    steps = [("synth", S["synth"]), ("validate", S["validate"]), ("embed_text", S["embed_text"])]
+    steps += [("embed_image", c) for c in S["embed_image"]]
+    steps += [("merge_images", m) for m in S["merge_images"]]
+    steps += [("fuse", S["fuse"]), ("build_ui", S["build_ui"]), ("subset_fused", S["subset_fused"]),
+              ("subset_txt", S["subset_txt"]), ("build_knn", S["build_knn"]), ("train", S["train"])]
+    for name, step in steps:
+        if _stage_done(args, name, step):
+            skipped.append(name)
+            print(f"[pipeline] skip (artifact exists): {name}", flush=True)
+            continue
         print(f"[pipeline] {' '.join(step)}", flush=True)
         if args.in_process:
             try:
@@ -384,7 +431,7 @@ def _cmd_pipeline(args):
         else:
             subprocess.run(base + step, check=True)
     print(json.dumps({"pipeline": "complete", "workdir": args.workdir, "parallel": False,
-                      "wall_s": round(_time.time() - t_start, 2)}))
+                      "skipped": skipped, "wall_s": round(_time.time() - t_start, 2)}))
 
 
 def _cmd_ablate(args):
@@ -656,6 +703,9 @@ def main(argv=None):
                         "graph builds) as concurrent CPU subprocesses")
     p.add_argument("--image-chunks", type=int, default=4,
                    help="image-embedding shards under --parallel (reference: 4-way)")
+    p.add_argument("--continue", dest="cont", action="store_true",
+                   help="skip stages whose output artifacts already exist "
+                        "(auto_continue_pipeline.sh semantics)")
     p.set_defaults(fn=_cmd_pipeline)
 
     args = ap.parse_args(argv)

@@ -123,6 +123,9 @@ def run_anchor(
     results["popularity"] = {k: round(v, 4) for k, v in _eval_scores(
         np.ones((n_u, 1), np.float32),
         np.log1p(train_pop)[:, None], splits, key).items()}
+    results["inverse_popularity"] = {k: round(v, 4) for k, v in _eval_scores(
+        np.ones((n_u, 1), np.float32),
+        -np.log1p(train_pop)[:, None], splits, key).items()}
     u_rows = np.stack([u_fac[int(u[1:])] for u in __import__("pandas").unique(df["user_id"])])
     results["factor_oracle"] = {k: round(v, 4) for k, v in _eval_scores(
         u_rows, fac_rows, splits, key).items()}
@@ -134,6 +137,20 @@ def run_anchor(
                           item_features="fused", loss="bpr", seed=seed)
         model = GATModel(n_users=n_u, n_items=n_i, feat_dim=128, hidden_dim=128, n_layers=2)
         tr = Trainer(model, cfg, graph, splits, item_feats=feats)
+        if tag == "gat_reference_protocol":
+            # diagnosis: the UNTRAINED forward. Mean-aggregation over k random
+            # user embeddings shrinks a popular item's output norm ~k^-1/2, so
+            # an untrained GAT is an inverse-popularity scorer — compare
+            # gat_init against the inverse_popularity baseline.
+            import jax as _jax
+
+            p0 = model.init(_jax.random.key(cfg.seed))
+            U0, I0 = tr._forward_eval(p0)
+            results["gat_init"] = {k: round(float(v), 4) for k, v in _eval_scores(
+                np.asarray(U0), np.asarray(I0), splits, key).items()}
+            norms = np.linalg.norm(np.asarray(I0), axis=1)
+            results["gat_init"]["corr_log_norm_vs_log_degree"] = round(float(
+                np.corrcoef(np.log1p(train_pop), np.log(norms + 1e-9))[0, 1]), 3)
         res = tr.fit()
         results[tag] = {k: round(float(v), 4) for k, v in res["test"].items()}
         results[tag]["wall_s"] = round(res.get("wall_time_s", time.time() - t0), 1)

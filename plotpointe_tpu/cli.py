@@ -673,7 +673,7 @@ def main(argv=None):
 
     p = sub.add_parser("anchor", help="quality-anchor run: reference GAT protocol on "
                                       "full-shape Amazon-calibrated synthetic data + controlled baselines")
-    p.add_argument("--scale", choices=["full", "mini"], default="full")
+    p.add_argument("--scale", choices=["full", "mini", "micro"], default="full")
     p.add_argument("--affinity", type=float, default=3.0)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--steps-per-epoch", type=int, default=1)

@@ -37,6 +37,9 @@ from pathlib import Path
 import numpy as np
 
 
+_POS_CACHE = {}
+
+
 def _eval_scores(U, I, splits, key, neg_k=1000):
     import jax
     import jax.numpy as jnp
@@ -44,10 +47,16 @@ def _eval_scores(U, I, splits, key, neg_k=1000):
     from plotpointe_tpu.data.splits import padded_positives
     from plotpointe_tpu.train.evaluate import sampled_eval
 
-    pos_table, deg = padded_positives(splits, max_degree=512)
+    # the [n_users, 512] positives table is ~400 MB at full shape and the
+    # host->device relay is slow — build + place it ONCE per splits object
+    cached = _POS_CACHE.get(id(splits))
+    if cached is None:
+        pos_table, deg = padded_positives(splits, max_degree=512)
+        cached = (jnp.asarray(pos_table), jnp.asarray(deg))
+        _POS_CACHE[id(splits)] = cached
     return sampled_eval(
         jnp.asarray(U), jnp.asarray(I), splits.test_u, splits.test_i,
-        jnp.asarray(pos_table), jnp.asarray(deg), key, neg_k=neg_k,
+        cached[0], cached[1], key, neg_k=neg_k,
     )
 
 
@@ -78,6 +87,8 @@ def run_anchor(
     shape = dict(n_users=192_403, n_items=63_001, n_interactions=1_689_116)
     if scale == "mini":
         shape = dict(n_users=20_000, n_items=8_000, n_interactions=200_000)
+    elif scale == "micro":  # test-tier: seconds on CPU
+        shape = dict(n_users=2_000, n_items=1_000, n_interactions=20_000)
     df, (u_fac, i_fac) = amazon_calibrated_interactions(
         **shape, seed=seed, affinity_strength=affinity, return_factors=True
     )
@@ -136,7 +147,10 @@ def run_anchor(
                           epochs=epochs, samples_per_epoch=200_000, steps_per_epoch=steps,
                           item_features="fused", loss="bpr", seed=seed)
         model = GATModel(n_users=n_u, n_items=n_i, feat_dim=128, hidden_dim=128, n_layers=2)
-        tr = Trainer(model, cfg, graph, splits, item_feats=feats)
+        # max_pos_degree 128 keeps device buffers modest at full shape
+        # (P(user deg > 128) ~ 1e-4 on the calibrated marginals; truncation
+        # only affects negative exclusion for those users)
+        tr = Trainer(model, cfg, graph, splits, item_feats=feats, max_pos_degree=128)
         if tag == "gat_reference_protocol":
             # diagnosis: the UNTRAINED forward. Mean-aggregation over k random
             # user embeddings shrinks a popular item's output norm ~k^-1/2, so
@@ -155,20 +169,28 @@ def run_anchor(
         results[tag] = {k: round(float(v), 4) for k, v in res["test"].items()}
         results[tag]["wall_s"] = round(res.get("wall_time_s", time.time() - t0), 1)
 
-    train_gat(steps_per_epoch, "gat_reference_protocol")
-    if not skip_beyond:
-        train_gat(beyond_steps, f"gat_beyond_parity_{beyond_steps}steps")
-
     out_p = Path(out)
     out_p.mkdir(parents=True, exist_ok=True)
-    (out_p / "anchor.json").write_text(json.dumps(results, indent=2))
+
+    def _snapshot():
+        (out_p / "anchor.json").write_text(json.dumps(results, indent=2))
+
+    _snapshot()  # baselines are expensive at full shape — persist before training
+    for steps, tag in [(steps_per_epoch, "gat_reference_protocol")] + (
+        [] if skip_beyond else [(beyond_steps, f"gat_beyond_parity_{beyond_steps}steps")]
+    ):
+        try:
+            train_gat(steps, tag)
+        except Exception as e:  # noqa: BLE001 — keep partial results
+            results[tag] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        _snapshot()
     print(json.dumps(results, indent=2))
     return results
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", choices=["full", "mini"], default="full")
+    ap.add_argument("--scale", choices=["full", "mini", "micro"], default="full")
     ap.add_argument("--affinity", type=float, default=3.0)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--steps-per-epoch", type=int, default=1)

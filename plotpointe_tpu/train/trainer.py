@@ -129,15 +129,26 @@ class Trainer:
         self._loss_name = cfg.loss
 
     # -- core jitted step ----------------------------------------------------
+    # Big device buffers (graph, features, positives tables) are passed as jit
+    # ARGUMENTS, not reached through the static `self`: closure constants are
+    # shipped inside the (remote-)compile payload, which blows up at full
+    # Amazon scale (the [192k, 512] positives table alone is 400 MB).
+
+    def _train_step(self, params, opt_state, key):
+        return self._train_step_jit(
+            params, opt_state, key, self.graph, self.item_feats,
+            self.train_users, self.user_pos_padded, self.user_deg, self.norm_values,
+        )
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _train_step(self, params, opt_state, key):
+    def _train_step_jit(self, params, opt_state, key, graph, item_feats,
+                        train_users, user_pos, user_deg, norm_values):
         k_sample, k_drop = jax.random.split(key)
         u, i, j = sample_bpr_triples(
             k_sample,
-            self.train_users,
-            self.user_pos_padded,
-            self.user_deg,
+            train_users,
+            user_pos,
+            user_deg,
             self.n_items,
             self.cfg.samples_per_epoch,
         )
@@ -145,10 +156,10 @@ class Trainer:
         def loss_fn(p):
             z = self.model.apply(
                 p,
-                self.item_feats,
-                self.graph,
-                **({"norm_values": self.norm_values, "spmm_op": self._spmm_op} if self.norm_values is not None else {}),
-                **({"train": True, "rng": k_drop} if self.norm_values is None else {}),
+                item_feats,
+                graph,
+                **({"norm_values": norm_values, "spmm_op": self._spmm_op} if norm_values is not None else {}),
+                **({"train": True, "rng": k_drop} if norm_values is None else {}),
             )
             U, I = z[: self.n_users], z[self.n_users :]
             pos = jnp.sum(U[u] * I[i], axis=-1)
@@ -160,8 +171,20 @@ class Trainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    @functools.partial(jax.jit, static_argnames=("self",))
     def _lightgcn_batch_step(self, params, opt_state, perm, s, key):
+        if not hasattr(self, "_train_u_dev"):
+            self._train_u_dev = jnp.asarray(self.splits.train_u)
+            self._train_i_dev = jnp.asarray(self.splits.train_i)
+        return self._lightgcn_batch_step_jit(
+            params, opt_state, perm, s, key, self.graph, self.item_feats,
+            self._train_u_dev, self._train_i_dev, self.user_pos_padded,
+            self.user_deg, self.norm_values,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _lightgcn_batch_step_jit(self, params, opt_state, perm, s, key, graph,
+                                 item_feats, train_u, train_i, user_pos, user_deg,
+                                 norm_values):
         """One BPR mini-batch step, LightGCN protocol parity
         (train_lightgcn.py:160-179,313-336): batch of `batch_size` positives
         drawn from the shuffled train interactions, `neg_per_pos` exact
@@ -169,19 +192,19 @@ class Trainer:
         bs = self.cfg.batch_size
         npp = self.cfg.neg_per_pos
         idx = jax.lax.dynamic_slice_in_dim(perm, s * bs, bs)
-        u = self._train_u_dev[idx]
-        i = self._train_i_dev[idx]
+        u = train_u[idx]
+        i = train_i[idx]
 
         # exact negatives: uniform over the complement of each user's positives
         from plotpointe_tpu.train.sampling import _rank_to_item, _uniform_ranks
 
-        pos_rows = self.user_pos_padded[u]  # [bs, P] sorted
-        deg = self.user_deg[u]
+        pos_rows = user_pos[u]  # [bs, P] sorted
+        deg = user_deg[u]
         r = _uniform_ranks(key, (bs, npp), (self.n_items - deg)[:, None] * jnp.ones((1, npp), jnp.int32))
         j = _rank_to_item(r, pos_rows)  # [bs, npp]
 
         def loss_fn(p):
-            z = self.model.apply(p, self.item_feats, self.graph, norm_values=self.norm_values,
+            z = self.model.apply(p, item_feats, graph, norm_values=norm_values,
                                  spmm_op=self._spmm_op)
             U, I = z[: self.n_users], z[self.n_users :]
             pos = jnp.sum(U[u] * I[i], axis=-1)  # [bs]
@@ -214,13 +237,16 @@ class Trainer:
             tot = tot + loss
         return float(tot) / n_steps
 
-    @functools.partial(jax.jit, static_argnames=("self",))
     def _forward_eval(self, params):
+        return self._forward_eval_jit(params, self.graph, self.item_feats, self.norm_values)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _forward_eval_jit(self, params, graph, item_feats, norm_values):
         z = self.model.apply(
             params,
-            self.item_feats,
-            self.graph,
-            **({"norm_values": self.norm_values, "spmm_op": self._spmm_op} if self.norm_values is not None else {}),
+            item_feats,
+            graph,
+            **({"norm_values": norm_values, "spmm_op": self._spmm_op} if norm_values is not None else {}),
         )
         return z[: self.n_users], z[self.n_users :]
 

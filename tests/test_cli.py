@@ -94,3 +94,36 @@ def test_train_mesh_flag(tmp_path, capsys):
                 "--mesh", "data:8"], capsys)
     res = json.loads(out[out.index("{"):])
     assert np.isfinite(res["best_val_ndcg@20"]) and "ndcg@20" in res["test"]
+
+
+def test_pipeline_continue_skips_stages(tmp_path, capsys):
+    """--continue skips stages whose artifacts exist (auto_continue parity).
+    In-process serial driver at tiny scale; the subprocess/parallel driver
+    shares the same _stage_done logic."""
+    args = ["pipeline", "--workdir", str(tmp_path), "--users", "40", "--items", "30",
+            "--interactions", "400", "--extra-items", "5", "--epochs", "1",
+            "--samples-per-epoch", "500", "--eval-neg-k", "10", "--hidden-dim", "8",
+            "--in-process"]
+    out = _run(args, capsys)
+    done = json.loads(out.strip().splitlines()[-1])
+    assert done["pipeline"] == "complete" and done["skipped"] == []
+
+    out = _run(args + ["--continue"], capsys)
+    done = json.loads(out.strip().splitlines()[-1])
+    assert "synth" in done["skipped"] and "build_knn" in done["skipped"]
+    assert "fuse" in done["skipped"]
+
+
+def test_anchor_mini_smoke(tmp_path, capsys):
+    """cli anchor at micro scale: baselines + exact-protocol GAT + gate file."""
+    import json as _json
+
+    gate = tmp_path / "gate.json"
+    gate.write_text(_json.dumps({"min": {"popularity.ndcg@20": 0.001}}))
+    out = _run(["anchor", "--scale", "micro", "--epochs", "1", "--skip-beyond",
+                "--out", str(tmp_path / "a"), "--gate-baseline", str(gate)], capsys)
+    res = _json.loads((tmp_path / "a" / "anchor.json").read_text())
+    for k in ("chance", "popularity", "inverse_popularity", "factor_oracle",
+              "gat_init", "gat_reference_protocol", "dataset"):
+        assert k in res, k
+    assert '"anchor_gate": "PASS"' in out

@@ -29,14 +29,18 @@ class ServingConfig:
     project_id: Optional[str] = None
     use_device: bool = True  # False -> pure numpy (tiny deployments, no JAX device)
     use_pallas_topk: bool = False  # fused streaming top-k for very large catalogs
+    table_dtype: str = "float32"  # "bfloat16" halves catalog HBM + stream traffic
+    # (scores stay f32 via preferred_element_type; ranks can differ by bf16
+    # rounding ~4e-3 relative on near-ties)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_scores(item_vecs: jax.Array, history: jax.Array, hist_mask: jax.Array, k: int):
     """history: [Hmax] int32 padded with 0, hist_mask: [Hmax] float {0,1}."""
-    hvecs = item_vecs[history] * hist_mask[:, None]
+    hvecs = item_vecs[history].astype(jnp.float32) * hist_mask[:, None]
     user_vec = hvecs.sum(axis=0) / jnp.maximum(hist_mask.sum(), 1.0)
-    scores = item_vecs @ user_vec
+    scores = jnp.dot(item_vecs, user_vec.astype(item_vecs.dtype),
+                     preferred_element_type=jnp.float32)
     # mask history items to -1e9 (parity with serving/runtime.py:69)
     scores = scores.at[history].set(jnp.where(hist_mask > 0, -1e9, scores[history]))
     top_scores, top_idx = jax.lax.top_k(scores, k)
@@ -56,7 +60,8 @@ class RecommenderRuntime:
     def startup(self) -> None:
         self.item_vecs = np.asarray(self.store.load_npy(self.cfg.item_embeddings_uri), dtype=np.float32)
         if self.cfg.use_device:
-            self._item_vecs_dev = jnp.asarray(self.item_vecs)
+            self._item_vecs_dev = jnp.asarray(self.item_vecs,
+                                              dtype=jnp.dtype(self.cfg.table_dtype))
         if self.cfg.item_index_map_uri:
             self.item_to_idx = self.store.load_json(self.cfg.item_index_map_uri)
 

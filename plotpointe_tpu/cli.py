@@ -296,6 +296,11 @@ def _cmd_anchor(args):
             "--beyond-steps", str(args.beyond_steps), "--seed", str(args.seed), "--out", args.out]
     if args.skip_beyond:
         argv.append("--skip-beyond")
+    if args.skip_baselines:
+        argv.append("--skip-baselines")
+    if args.skip_reference:
+        argv.append("--skip-reference")
+    argv += ["--optimizer", args.optimizer, "--warmup-steps", str(args.warmup_steps)]
     if args.gate_baseline:
         argv += ["--gate-baseline", args.gate_baseline]
     anchor_main(argv)
@@ -682,6 +687,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="tmp/anchor")
     p.add_argument("--gate-baseline", default=None)
+    p.add_argument("--skip-baselines", action="store_true")
+    p.add_argument("--skip-reference", action="store_true")
+    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    p.add_argument("--warmup-steps", type=int, default=0)
     p.set_defaults(fn=_cmd_anchor)
 
     p = sub.add_parser("pipeline", help="run the full synth->train pipeline in one command")

@@ -537,3 +537,109 @@ def make_sharded_train_step(
         return inner(params, item_feats, src, dst, u, i, j)
 
     return step
+
+
+def shard_spmm_weights(stacked: AttentionLayout, values: np.ndarray, n_edges: int, n_nodes: int):
+    """Per-shard host-aligned SpMM weights over a tile-sharded layout.
+
+    Returns numpy arrays stacked on the device axis:
+      w2   [S, E_al/128, 128]  edge values in each shard's forward order
+      w2_t [S, E_al_t/128,128] values in each shard's TRANSPOSE order
+      t_src [S, E_al_t]        original dst (= transpose source) per t-pos
+    Same construction as ops.spmm_kernel._host_aligned_values, vectorized
+    over shards; `stacked.pos` already carries GLOBAL edge ids."""
+    v = np.asarray(values, dtype=np.float32)[:n_edges]
+    pos = np.asarray(stacked.pos).astype(np.int64)  # [S, E_al]
+    w_al = np.where(pos < n_edges, v[np.minimum(pos, max(n_edges - 1, 0))], 0.0).astype(np.float32)
+    if n_edges == 0:
+        w_al[:] = 0.0
+    e_al = w_al.shape[1]
+    t_perm = np.asarray(stacked.t_perm).astype(np.int64)  # [S, E_al_t]
+    w_pad = np.concatenate([w_al, np.zeros((w_al.shape[0], 1), np.float32)], axis=1)
+    w_t = np.take_along_axis(w_pad, np.minimum(t_perm, e_al), axis=1)
+    dst = np.asarray(stacked.dst)
+    dst_pad = np.concatenate([dst, np.full((dst.shape[0], 1), n_nodes, dst.dtype)], axis=1)
+    t_src = np.take_along_axis(dst_pad, np.minimum(t_perm, e_al), axis=1).astype(np.int32)
+    return (
+        w_al.reshape(w_al.shape[0], -1, 128),
+        w_t.reshape(w_t.shape[0], -1, 128),
+        t_src,
+    )
+
+
+def make_sharded_spmm(
+    mesh: Mesh,
+    graph: Graph,
+    values: np.ndarray,
+    axis: str = "data",
+    nb: int = 256,
+    eb: int = 1024,
+    xs_dtype=jnp.bfloat16,
+) -> Callable:
+    """Multi-chip static SpMM operator: fn(x [N, F] replicated) -> y [N, F].
+
+    The multi-chip counterpart of ops.spmm_kernel.make_spmm (LightGCN
+    propagation): destination tiles are sharded across the mesh
+    (shard_layout_by_tiles), each device runs the streaming weighted one-hot
+    kernel over its shard (edge weights host-aligned once per shard), and the
+    outputs combine with one psum overlay. The backward is the SAME kernel
+    over each shard's transpose layout (dL/dx[s] = sum of local-edge
+    contributions, psum across shards) — defined as a custom VJP over the
+    two shard_maps, no XLA scatter anywhere.
+
+    check_vma=False for the same Pallas scalar-prefetch reason as
+    sharded_attention_fused; the single psum per direction is the overlay
+    combine and the collectives are otherwise handled by this VJP."""
+    from plotpointe_tpu.ops.spmm_kernel import _pad_cols, _round_up_128, _wreduce_call
+
+    n, n_e = graph.n_nodes, graph.n_edges
+    n_shards = int(mesh.shape[axis])
+    stacked = shard_layout_by_tiles(graph, n_shards, nb=nb, eb=eb)
+    w2_s, w2t_s, tsrc_s = shard_spmm_weights(stacked, values, n_e, n)
+
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    src_s = jax.device_put(jnp.asarray(stacked.src), sh)
+    dst2_s = jax.device_put(jnp.asarray(np.asarray(stacked.dst).reshape(n_shards, -1, 128)), sh)
+    tile_of_s = jax.device_put(jnp.asarray(stacked.tile_of), sh)
+    is_last_s = jax.device_put(jnp.asarray(stacked.is_last), sh)
+    tdst2_s = jax.device_put(jnp.asarray(np.asarray(stacked.t_dst).reshape(n_shards, -1, 128)), sh)
+    t_tile_of_s = jax.device_put(jnp.asarray(stacked.t_tile_of), sh)
+    t_is_last_s = jax.device_put(jnp.asarray(stacked.t_is_last), sh)
+    w2_d = jax.device_put(jnp.asarray(w2_s), sh)
+    w2t_d = jax.device_put(jnp.asarray(w2t_s), sh)
+    tsrc_d = jax.device_put(jnp.asarray(tsrc_s), sh)
+    n_tiles = stacked.n_tiles
+    n_chunks = stacked.src.shape[1] // eb
+    n_chunks_t = stacked.t_dst.shape[1] // eb
+
+    def _dir_call(x, idx_l, w2_l, dst2_l, to_l, il_l, nc):
+        d = x.shape[1]
+        xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
+        xs = _pad_cols(xp, _round_up_128(d)).astype(xs_dtype)[idx_l]
+        out = _wreduce_call(xs, w2_l, dst2_l, to_l, il_l, nb, eb, n_tiles, nc)
+        return jax.lax.psum(out[:n, :d], axis)
+
+    fwd_specs = (P(), P(axis), P(axis), P(axis), P(axis), P(axis))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=fwd_specs, out_specs=P(),
+                       check_vma=False)
+    def _fwd_sh(x, src_l, w2_l, dst2_l, to_l, il_l):
+        return _dir_call(x, src_l[0], w2_l[0], dst2_l[0], to_l[0], il_l[0], n_chunks)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=fwd_specs, out_specs=P(),
+                       check_vma=False)
+    def _bwd_sh(g, tsrc_l, w2t_l, tdst2_l, to_l, il_l):
+        return _dir_call(g, tsrc_l[0], w2t_l[0], tdst2_l[0], to_l[0], il_l[0], n_chunks_t)
+
+    @jax.custom_vjp
+    def op(x):
+        return _fwd_sh(x, src_s, w2_d, dst2_s, tile_of_s, is_last_s)
+
+    def op_fwd(x):
+        return op(x), None
+
+    def op_bwd(_, g):
+        return (_bwd_sh(g, tsrc_d, w2t_d, tdst2_s, t_tile_of_s, t_is_last_s),)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op

@@ -69,6 +69,10 @@ def run_anchor(
     seed: int = 0,
     out: str = "tmp/anchor",
     skip_beyond: bool = False,
+    skip_baselines: bool = False,
+    skip_reference: bool = False,
+    optimizer: str = "adam",
+    warmup_steps: int = 0,
 ):
     import jax
     import jax.numpy as jnp
@@ -127,25 +131,27 @@ def run_anchor(
     rng = np.random.default_rng(seed + 7)
     key = jax.random.key(seed + 11)
     n_u, n_i = splits.n_users, splits.n_items
-    results["chance"] = {k: round(v, 4) for k, v in _eval_scores(
-        np.ones((n_u, 1), np.float32),
-        rng.normal(size=(n_i, 1)).astype(np.float32), splits, key).items()}
     train_pop = np.bincount(splits.train_i, minlength=n_i).astype(np.float32)
-    results["popularity"] = {k: round(v, 4) for k, v in _eval_scores(
-        np.ones((n_u, 1), np.float32),
-        np.log1p(train_pop)[:, None], splits, key).items()}
-    results["inverse_popularity"] = {k: round(v, 4) for k, v in _eval_scores(
-        np.ones((n_u, 1), np.float32),
-        -np.log1p(train_pop)[:, None], splits, key).items()}
-    u_rows = np.stack([u_fac[int(u[1:])] for u in __import__("pandas").unique(df["user_id"])])
-    results["factor_oracle"] = {k: round(v, 4) for k, v in _eval_scores(
-        u_rows, fac_rows, splits, key).items()}
+    if not skip_baselines:
+        results["chance"] = {k: round(v, 4) for k, v in _eval_scores(
+            np.ones((n_u, 1), np.float32),
+            rng.normal(size=(n_i, 1)).astype(np.float32), splits, key).items()}
+        results["popularity"] = {k: round(v, 4) for k, v in _eval_scores(
+            np.ones((n_u, 1), np.float32),
+            np.log1p(train_pop)[:, None], splits, key).items()}
+        results["inverse_popularity"] = {k: round(v, 4) for k, v in _eval_scores(
+            np.ones((n_u, 1), np.float32),
+            -np.log1p(train_pop)[:, None], splits, key).items()}
+        u_rows = np.stack([u_fac[int(u[1:])] for u in __import__("pandas").unique(df["user_id"])])
+        results["factor_oracle"] = {k: round(v, 4) for k, v in _eval_scores(
+            u_rows, fac_rows, splits, key).items()}
 
     # -- GAT fused/BPR, exact reference protocol ------------------------------
     def train_gat(steps, tag):
         cfg = TrainConfig(model_family="gat", hidden_dim=128, layers=2, heads=1,
                           epochs=epochs, samples_per_epoch=200_000, steps_per_epoch=steps,
-                          item_features="fused", loss="bpr", seed=seed)
+                          item_features="fused", loss="bpr", seed=seed,
+                          optimizer=optimizer, warmup_steps=warmup_steps)
         model = GATModel(n_users=n_u, n_items=n_i, feat_dim=128, hidden_dim=128, n_layers=2)
         # max_pos_degree 128 keeps device buffers modest at full shape
         # (P(user deg > 128) ~ 1e-4 on the calibrated marginals; truncation
@@ -176,8 +182,9 @@ def run_anchor(
         (out_p / "anchor.json").write_text(json.dumps(results, indent=2))
 
     _snapshot()  # baselines are expensive at full shape — persist before training
-    for steps, tag in [(steps_per_epoch, "gat_reference_protocol")] + (
-        [] if skip_beyond else [(beyond_steps, f"gat_beyond_parity_{beyond_steps}steps")]
+    opt_sfx = "" if optimizer == "adam" else f"_{optimizer}"
+    for steps, tag in ([] if skip_reference else [(steps_per_epoch, "gat_reference_protocol")]) + (
+        [] if skip_beyond else [(beyond_steps, f"gat_beyond_parity_{beyond_steps}steps{opt_sfx}")]
     ):
         try:
             train_gat(steps, tag)
@@ -198,6 +205,10 @@ def main(argv=None):
     ap.add_argument("--skip-beyond", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="tmp/anchor")
+    ap.add_argument("--skip-baselines", action="store_true")
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--gate-baseline", default=None,
                     help="json with metric bands; exit 3 when outside them")
     args = ap.parse_args(argv)
@@ -205,6 +216,8 @@ def main(argv=None):
         scale=args.scale, affinity=args.affinity, epochs=args.epochs,
         steps_per_epoch=args.steps_per_epoch, beyond_steps=args.beyond_steps,
         seed=args.seed, out=args.out, skip_beyond=args.skip_beyond,
+        skip_baselines=args.skip_baselines, skip_reference=args.skip_reference,
+        optimizer=args.optimizer, warmup_steps=args.warmup_steps,
     )
     if args.gate_baseline:
         spec = json.loads(Path(args.gate_baseline).read_text())

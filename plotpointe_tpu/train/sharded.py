@@ -50,6 +50,7 @@ from plotpointe_tpu.parallel.spmd import (
     make_sharded_gat_step,
     make_sharded_gat_step_fused,
     make_sharded_lightgcn_step,
+    make_sharded_spmm,
     shard_graph_by_edges,
     shard_layout_by_tiles,
 )
@@ -117,10 +118,23 @@ class ShardedTrainer(Trainer):
 
         if self._family == "lightgcn":
             self._eval_norm = jax.device_put(self.norm_values, rep)
+            vals_np = np.asarray(self.norm_values)
             self.norm_values = jax.device_put(self.norm_values, espec)
-            self._sh_step = make_sharded_lightgcn_step(
-                model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
-            )
+            from plotpointe_tpu.ops.segment import resolve_attn_impl
+
+            self._lg_fused = resolve_attn_impl(getattr(model, "spmm_impl", "xla")) == "pallas"
+            if self._lg_fused:
+                # flagship composition for LightGCN: tile-sharded static
+                # Pallas SpMM (+ psum overlay) inside a GSPMD step
+                nb, eb = _auto_tile_sizes(self.graph.n_nodes, self.graph.n_edges, self.n_shards)
+                self._spmm_sh = make_sharded_spmm(
+                    self.mesh, graph, vals_np, axis=axis, nb=nb, eb=eb
+                )
+                self._sh_step = self._make_lg_fused_step()
+            else:
+                self._sh_step = make_sharded_lightgcn_step(
+                    model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
+                )
             self._train_u_dev = jnp.asarray(self.splits.train_u)
             self._train_i_dev = jnp.asarray(self.splits.train_i)
             pairs = cfg.batch_size * cfg.neg_per_pos
@@ -237,6 +251,39 @@ class ShardedTrainer(Trainer):
         j = _rank_to_item(r, pos_rows)
         return jnp.repeat(u, npp), jnp.repeat(i, npp), j.reshape(-1)
 
+    def _make_lg_fused_step(self):
+        """GSPMD LightGCN step over the sharded static-SpMM operator: tables
+        stay row-sharded (XLA inserts the gathers / grad scatters), each
+        propagation round runs the tile-sharded Pallas kernel + psum overlay."""
+        from plotpointe_tpu.train.losses import LOSSES
+
+        k_layers = int(self.model.n_prop_layers)
+        loss_fn_elem = LOSSES[self.cfg.loss]
+        n_u, n_i = self.n_users, self.n_items
+        spmm_sh = self._spmm_sh
+
+        @jax.jit
+        def step(params, u, i, j):
+            def loss_fn(p):
+                x = jnp.concatenate(
+                    [p["user_emb"][:n_u], p["item_emb"][:n_i]], axis=0
+                )
+                acc = x
+                out = x
+                for _ in range(k_layers):
+                    out = spmm_sh(out)
+                    acc = acc + out
+                acc = acc / (k_layers + 1)
+                U, I = acc[:n_u], acc[n_u:]
+                pos = jnp.sum(U[u] * I[i], axis=-1)
+                neg = jnp.sum(U[u] * I[j], axis=-1)
+                return loss_fn_elem(pos, neg)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return grads, loss
+
+        return step
+
     def _lightgcn_sharded_epoch(self, state: TrainState, k_epoch) -> float:
         t = len(self.splits.train_u)
         bs = self.cfg.batch_size
@@ -248,9 +295,12 @@ class ShardedTrainer(Trainer):
         tot = jnp.float32(0.0)  # device-side accumulation, one sync/epoch
         for s in range(n_steps):
             u, i, j = self._lightgcn_batch_triples(perm, jnp.int32(s), jax.random.fold_in(k_epoch, s))
-            grads, loss = self._sh_step(
-                state.params, self.norm_values, self._src, self._dst, u, i, j
-            )
+            if self._lg_fused:
+                grads, loss = self._sh_step(state.params, u, i, j)
+            else:
+                grads, loss = self._sh_step(
+                    state.params, self.norm_values, self._src, self._dst, u, i, j
+                )
             state.params, state.opt_state = self._apply_updates(state.params, state.opt_state, grads)
             tot = tot + loss
         return float(tot) / n_steps

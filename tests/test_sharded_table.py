@@ -233,3 +233,31 @@ def test_lookup_batch_dedup_capacity_overflow(mesh8, rng):
         a, b = 2 * dev, 2 * dev + 1
         np.testing.assert_array_equal(got[a], table[ids[a]])
         np.testing.assert_array_equal(got[b], 0.0)
+
+
+@pytest.mark.multidevice
+def test_sharded_spmm_matches_single(mesh8, rng):
+    """make_sharded_spmm (tile-sharded static Pallas SpMM + psum overlay)
+    == the XLA golden spmm, forward and grad-wrt-x."""
+    from plotpointe_tpu.ops.segment import spmm as spmm_ref
+    from plotpointe_tpu.parallel.spmd import make_sharded_spmm
+
+    n_users, n_items = 60, 44
+    tu = rng.integers(0, n_users, 500).astype(np.int32)
+    ti = rng.integers(0, n_items, 500).astype(np.int32)
+    g = build_bipartite_graph(tu, ti, n_users, n_items).with_layout(nb=16, eb=128)
+    vals = symmetric_normalized_weights(g)  # already padded-length
+    gd = g.to_device()
+    vals_pad = jnp.asarray(vals)
+
+    for d in (64, 128):
+        x = jnp.asarray(rng.normal(size=(g.n_nodes, d)).astype(np.float32))
+        op = make_sharded_spmm(mesh8, g, vals, nb=16, eb=128, xs_dtype=jnp.float32)
+        want = spmm_ref(gd, vals_pad, x)
+        got = op(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+        ct = jnp.asarray(rng.normal(size=(g.n_nodes, d)).astype(np.float32))
+        gx = jax.grad(lambda xx: (spmm_ref(gd, vals_pad, xx) * ct).sum())(x)
+        gp = jax.grad(lambda xx: (op(xx) * ct).sum())(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5)

@@ -120,3 +120,29 @@ def test_sharded_lightgcn_fit_matches_single_device(mesh8):
         np.testing.assert_allclose(h8["loss"], h1["loss"], rtol=2e-4)
     for k, v in res_single["test"].items():
         np.testing.assert_allclose(res_sharded["test"][k], v, atol=2e-3, err_msg=k)
+
+
+def test_sharded_lightgcn_fused_fit_matches_single_device(mesh8):
+    """ShardedTrainer routes to the tile-sharded static-Pallas SpMM step when
+    spmm_impl='pallas' — fit() must match the single-device XLA trainer."""
+    s, g, feats = _problem(seed=5)
+    cfg = TrainConfig(
+        model_family="lightgcn", embed_dim=16, n_prop_layers=2, epochs=3,
+        batch_size=8, neg_per_pos=5, eval_neg_k=32, seed=13,
+    )
+
+    def make(impl):
+        return LightGCNModel(n_users=s.n_users, n_items=s.n_items, embed_dim=16,
+                             n_prop_layers=2, spmm_impl=impl)
+
+    single = Trainer(make("xla"), cfg, g, s)
+    res_single = single.fit(jax.random.key(cfg.seed))
+
+    sharded = ShardedTrainer(make("pallas"), cfg, g, s, mesh=mesh8)
+    assert sharded._lg_fused
+    res_sharded = sharded.fit(jax.random.key(cfg.seed))
+
+    for h1, h8 in zip(res_single["history"], res_sharded["history"]):
+        np.testing.assert_allclose(h8["loss"], h1["loss"], rtol=5e-3)
+    for k, v in res_single["test"].items():
+        np.testing.assert_allclose(res_sharded["test"][k], v, atol=5e-3, err_msg=k)

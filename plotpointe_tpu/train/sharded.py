@@ -18,9 +18,13 @@ Design:
   - one train step = sample triples (replicated, same order-statistic
     sampler and PRNG stream as the single-device path) -> sharded
     grad step (collectives ride ICI inside shard_map) -> sharded Adam.
-  - eval / checkpointing: tables are gathered (np.asarray on a sharded
-    array gathers) and pad rows stripped, then the exact single-device
-    evaluator runs — metrics are directly comparable with Trainer's.
+    When the kernel impl resolves to pallas, the step is the FUSED
+    composition: tile-sharded attention_v3 fwd+bwd (GAT) or the
+    tile-sharded static SpMM operator (LightGCN), psum overlay outputs.
+  - eval: on device under GSPMD jit over the same mesh — tables stay
+    row-sharded (XLA inserts the gathers), metric sums reduce on device,
+    ONE host sync per eval; epoch losses accumulate on device too.
+  - checkpointing: tables host-gather only when a new best is saved.
 
 With attention dropout disabled, fit() is numerically equivalent to the
 single-device Trainer (same sampling keys, same loss/grad math up to float

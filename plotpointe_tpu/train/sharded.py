@@ -126,7 +126,12 @@ class ShardedTrainer(Trainer):
             self.norm_values = jax.device_put(self.norm_values, espec)
             from plotpointe_tpu.ops.segment import resolve_attn_impl
 
-            self._lg_fused = resolve_attn_impl(getattr(model, "spmm_impl", "xla")) == "pallas"
+            spmm_impl = getattr(model, "spmm_impl", "xla")
+            # same scale-aware auto rule as Trainer: fused kernels only pay
+            # off (vs their compile latency) at >=100k edges
+            self._lg_fused = resolve_attn_impl(spmm_impl) == "pallas" and (
+                spmm_impl == "pallas" or self.graph.n_edges >= 100_000
+            )
             if self._lg_fused:
                 # flagship composition for LightGCN: tile-sharded static
                 # Pallas SpMM (+ psum overlay) inside a GSPMD step

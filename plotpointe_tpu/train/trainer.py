@@ -116,7 +116,14 @@ class Trainer:
         if getattr(model, "config_dict", lambda: {})().get("model_family") == "lightgcn":
             vals = symmetric_normalized_weights(graph)
             self.norm_values = jnp.asarray(vals)
-            if resolve_attn_impl(getattr(model, "spmm_impl", "xla")) == "pallas":
+            spmm_impl = getattr(model, "spmm_impl", "xla")
+            # "auto" takes the Pallas operator only at scale: below ~100k
+            # edges XLA's segment_sum is already fast and the fused kernels'
+            # (remote-)compile latency dominates small runs
+            want_pallas = resolve_attn_impl(spmm_impl) == "pallas" and (
+                spmm_impl == "pallas" or graph.n_edges >= 100_000
+            )
+            if want_pallas:
                 # static (graph, values) pair: host-align edge weights once,
                 # fused streaming kernel fwd + transpose-layout bwd
                 from plotpointe_tpu.ops.spmm_kernel import make_spmm

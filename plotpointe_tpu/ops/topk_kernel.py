@@ -107,12 +107,24 @@ def _topk_kernel(nbi: int, b: int, n_rounds: int, n_items: int):
             run_i[:] = jnp.zeros((b, K_PAD), jnp.int32)
 
         scores = jnp.dot(q_ref[:], items_ref[:].T, preferred_element_type=jnp.float32)  # [B, NBI]
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, nbi), 1) + c * nbi
-        scores = jnp.where(col < n_items, scores, NEG_INF)  # mask padding rows
+        # padding rows exist only in the final block — masking there alone
+        # saves 3 full-width VPU passes (iota/compare/select) on every other
+        # block of the stream (measured ~15% of kernel time at 498k x 128)
+        if n_items % nbi != 0:
+            @pl.when(c == n_blocks - 1)
+            def _():
+                col = jax.lax.broadcasted_iota(jnp.int32, (b, nbi), 1) + c * nbi
+                run_k[:], run_i[:] = merge_topk_packed(
+                    run_k[:], run_i[:], jnp.where(col < n_items, scores, NEG_INF),
+                    c * nbi, n_rounds)
 
-        nk, ni = merge_topk_packed(run_k[:], run_i[:], scores, c * nbi, n_rounds)
-        run_k[:] = nk
-        run_i[:] = ni
+            @pl.when(c < n_blocks - 1)
+            def _():
+                run_k[:], run_i[:] = merge_topk_packed(run_k[:], run_i[:], scores, c * nbi, n_rounds)
+        else:
+            nk, ni = merge_topk_packed(run_k[:], run_i[:], scores, c * nbi, n_rounds)
+            run_k[:] = nk
+            run_i[:] = ni
 
         @pl.when(c == n_blocks - 1)
         def _():
@@ -123,7 +135,7 @@ def _topk_kernel(nbi: int, b: int, n_rounds: int, n_items: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_items"))
-def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int, block_items: int = 2048):
+def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int, block_items: int = 3968):
     """Top-k inner-product search. item_vecs: [N, D]; queries: [B, D] (cast
     both to bfloat16 for 2x stream bandwidth when serving tolerates it).
     Returns (indices [B, k] int32, scores [B, k] f32) sorted descending;

@@ -460,6 +460,23 @@ def _bench_serving(n_items=498_196, d=128, k=20, batch=8):
                              bytes_accessed=n_items * d * 2.0))
     except Exception as e:  # noqa: BLE001
         out["serve_topk_pallas_bf16_error"] = _err(e)
+
+    # batch-scaled production line: one catalog stream amortized over 64
+    # queries (the stream floor is per-BATCH, so QPS scales near-linearly
+    # until the wider selection merge catches up)
+    try:
+        big = 64
+        q64 = jnp.asarray(rng.normal(size=(big, d)).astype(np.float32)).astype(jnp.bfloat16)
+
+        def body_64(c, i_, it, qq):
+            _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), k)
+            return c + v[0, 0] * 1e-9
+
+        dt = _timed_inner(body_64, items_bf, q64, n_iter=16, n_rep=2)
+        out["serve_topk_pallas_bf16_b64_ms"] = round(dt * 1000, 3)
+        out["serve_topk_pallas_bf16_b64_qps"] = round(big / dt)
+    except Exception as e:  # noqa: BLE001
+        out["serve_topk_pallas_bf16_b64_error"] = _err(e)
     return out
 
 

@@ -80,13 +80,17 @@ def cosine_knn(
     block_rows: int = 512,
     normalize: bool = True,
     impl: str = "auto",
+    mode: str = "exact",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k cosine neighbours per row. Returns (idx [N,k], sim [N,k],
     valid [N,k] bool where sim >= min_similarity). Padding rows (to block
     multiple) are handled internally and never appear as neighbours.
 
     impl: "pallas" (streaming fused kernel, ops/knn_kernel.py), "xla"
-    (blocked matmul + hierarchical top_k), or "auto" (pallas on TPU)."""
+    (blocked matmul + hierarchical top_k), or "auto" (pallas on TPU).
+    mode: "exact" or "fast" (pallas only — 1-pass bf16 scoring + slot
+    pre-reduction, ~3x faster with per-edge recall >= ~0.998; see
+    ops/knn_kernel.py)."""
     x = jnp.asarray(features, dtype=jnp.float32)
     n, d = x.shape
     if normalize:
@@ -96,7 +100,7 @@ def cosine_knn(
     if impl == "pallas":
         from plotpointe_tpu.ops.knn_kernel import knn_topk_pallas
 
-        idx, sim = knn_topk_pallas(x, k)
+        idx, sim = knn_topk_pallas(x, k, mode=mode)
         idx, sim = np.asarray(idx), np.asarray(sim)
     else:
         n_pad = ((n + block_rows - 1) // block_rows) * block_rows

@@ -34,7 +34,9 @@ from plotpointe_tpu.ops.topk_kernel import (
     NEG_INF,
     POS_MASK,
     SEL_MARGIN,
+    merge_topk_keys,
     merge_topk_packed,
+    pack_keys,
     unpack_value,
 )
 
@@ -73,18 +75,72 @@ def _knn_kernel(br: int, bc: int, n_rounds: int, n: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "block_cols"))
+def _knn_kernel_fast(br: int, bc: int, n_rounds: int, n_slots: int):
+    """Fast-mode tile: 1-pass bf16 MXU scoring + strided slot pre-reduction.
+
+    Instead of running the selection rounds over the full [BR, BC] tile, the
+    packed keys are max-reduced into BC/n_slots slices of n_slots lanes
+    (winner keys keep their in-tile positions, so indices still decode), and
+    the rounds run on the [BR, n_slots] survivors — cutting the round cost by
+    BC/n_slots. A tile candidate is lost only when >=2 of a row's running
+    top-n_rounds fall in the SAME tile in the SAME lane residue class
+    (P ~ n_rounds^2 / (2 * n_tiles * BC) per row) — selection-grade
+    approximation, repaired in rank but not recall by the exact re-score.
+    Self-exclusion moves to the wrapper (self always wins its slot; one extra
+    round absorbs it). Padding columns arrive pre-masked via the additive
+    validity vector (row 0 of vm_ref), costing one VPU pass instead of three.
+    """
+
+    def kernel(xr_ref, xc_ref, vm_ref, out_k_ref, out_i_ref, run_k, run_i):
+        c = pl.program_id(1)
+        n_cols = pl.num_programs(1)
+
+        @pl.when(c == 0)
+        def _():
+            run_k[:] = jnp.full((br, K_PAD), INT_MIN, jnp.int32)
+            run_i[:] = jnp.zeros((br, K_PAD), jnp.int32)
+
+        scores = jnp.dot(xr_ref[:], xc_ref[:].T, preferred_element_type=jnp.float32)  # [BR, BC]
+        scores = scores + vm_ref[0:1, :]  # padding columns -> NEG_INF
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1)
+        keys = pack_keys(scores, lane)
+        red = keys[:, :n_slots]
+        for g in range(1, bc // n_slots):
+            red = jnp.maximum(red, keys[:, g * n_slots : (g + 1) * n_slots])
+
+        nk, ni = merge_topk_keys(run_k[:], run_i[:], red, c * bc, n_rounds, bc)
+        run_k[:] = nk
+        run_i[:] = ni
+
+        @pl.when(c == n_cols - 1)
+        def _():
+            out_k_ref[:] = run_k[:]
+            out_i_ref[:] = run_i[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "block_cols", "mode"))
 def knn_topk_pallas(
-    xn: jax.Array, k: int, block_rows: int = 256, block_cols: int = 2048
+    xn: jax.Array, k: int, block_rows: int = 256, block_cols: int = 2048,
+    mode: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k cosine neighbours. xn: [N, d] L2-normalized rows.
     Returns (idx [N, k] int32, sim [N, k] f32) with self excluded, rows
     desc-sorted; sims are exact f32 re-scores. Pads internally; padding never
     appears as a neighbour. Rows with fewer than k real candidates carry
     idx -1 / sim -1e30 in their tail lanes — filter by similarity (as
-    graphs/knn.py::cosine_knn does) before trusting idx."""
+    graphs/knn.py::cosine_knn does) before trusting idx.
+
+    mode: "exact" (default) — f32-faithful HIGHEST-precision scoring and the
+    full selection guarantee (a true neighbour is lost only to >SEL_MARGIN
+    same-truncation-bucket shadowing). "fast" — 1-pass bf16 MXU scoring and
+    slot-pre-reduced selection (_knn_kernel_fast): ~3x faster at 63k x 384,
+    with per-edge recall vs exact typically >= 0.998 (measured; see bench) —
+    the ScaNN-style operating point for approximate graph builds."""
     n, d = xn.shape
-    n_rounds = min(k + SEL_MARGIN, K_PAD)
+    extra = 1 if mode == "fast" else 0  # self wins a slot in fast mode
+    n_rounds = min(k + SEL_MARGIN + extra, K_PAD)
     assert block_cols + K_PAD <= POS_MASK + 1
     n_pad_r = ((n + block_rows - 1) // block_rows) * block_rows
     n_pad_c = ((n + block_cols - 1) // block_cols) * block_cols
@@ -97,13 +153,8 @@ def knn_topk_pallas(
         xp = jnp.concatenate([xn, jnp.zeros((n_pad - n, d), xn.dtype)], axis=0)
     grid = (n_pad // block_rows, n_pad // block_cols)
 
-    out_k, out_i = pl.pallas_call(
-        _knn_kernel(block_rows, block_cols, n_rounds, n),
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda r, c: (r, 0)),
-            pl.BlockSpec((block_cols, d), lambda r, c: (c, 0)),
-        ],
         out_specs=[
             pl.BlockSpec((block_rows, K_PAD), lambda r, c: (r, 0)),
             pl.BlockSpec((block_rows, K_PAD), lambda r, c: (r, 0)),
@@ -125,12 +176,37 @@ def knn_topk_pallas(
             bytes_accessed=n_pad * d * 4 * (1 + grid[0]),
             transcendentals=0,
         ),
-    )(xp, xp)
+    )
+    if mode == "fast":
+        # additive column-validity vector: 0 for real columns, NEG_INF pad
+        vm = jnp.zeros((8, n_pad), jnp.float32)
+        if n_pad != n:
+            vm = vm.at[0, n:].set(NEG_INF)
+        out_k, out_i = pl.pallas_call(
+            _knn_kernel_fast(block_rows, block_cols, n_rounds, n_slots=K_PAD),
+            in_specs=[
+                pl.BlockSpec((block_rows, d), lambda r, c: (r, 0)),
+                pl.BlockSpec((block_cols, d), lambda r, c: (c, 0)),
+                pl.BlockSpec((8, block_cols), lambda r, c: (0, c)),
+            ],
+            **common,
+        )(xp, xp, vm)
+    else:
+        out_k, out_i = pl.pallas_call(
+            _knn_kernel(block_rows, block_cols, n_rounds, n),
+            in_specs=[
+                pl.BlockSpec((block_rows, d), lambda r, c: (r, 0)),
+                pl.BlockSpec((block_cols, d), lambda r, c: (c, 0)),
+            ],
+            **common,
+        )(xp, xp)
 
     # exact re-score of the k + margin candidates, then exact top-k per row
     cand_i = out_i[:n, :n_rounds]  # [N, R]
     trunc_v = unpack_value(out_k[:n, :n_rounds])
     real = trunc_v > NEG_INF / 2
+    if mode == "fast":  # self-exclusion happens here, not in-kernel
+        real = real & (cand_i != jnp.arange(n, dtype=jnp.int32)[:, None])
     gathered = xn[jnp.clip(cand_i, 0, n - 1)].astype(jnp.float32)  # [N, R, D]
     exact = jnp.einsum("nrd,nd->nr", gathered, xn.astype(jnp.float32))
     exact = jnp.where(real, exact, NEG_INF)

@@ -61,23 +61,24 @@ def unpack_value(keys: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(s, jnp.float32)
 
 
-def merge_topk_packed(
+def merge_topk_keys(
     run_k: jax.Array,  # [B, K_PAD] int32, value bits only (pos bits zero)
     run_i: jax.Array,  # [B, K_PAD] int32 global indices
-    scores: jax.Array,  # [B, W] float32 block scores (mask invalid to NEG_INF)
-    col0: jax.Array,  # scalar int32: global index of the block's first column
+    keys: jax.Array,  # [B, W] int32 pre-packed candidate keys (pos < w_pos)
+    col0: jax.Array,  # scalar int32: global index of position 0's column
     n_rounds: int,
+    w_pos: int,  # size of the candidates' position space (>= max pos + 1)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fold one score block into the running top-n_rounds. 2 full-width VPU
-    passes per round (one lane-max reduce, one compare+mask write); winner
-    position decodes from the key, run-slot indices recover via a K_PAD-wide
-    one-hot (1 vreg). Pure jnp — works inside Pallas kernels and in XLA."""
-    b, w = scores.shape
-    assert w + K_PAD <= POS_MASK + 1, "block too wide for the key position field"
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    keys = pack_keys(scores, lane)
+    """Fold pre-packed candidate keys into the running top-n_rounds. 2
+    VPU passes over the candidate width per round (one lane-max reduce, one
+    compare+mask write); winner position decodes from the key, run-slot
+    indices recover via a K_PAD-wide one-hot (1 vreg). The candidate array
+    may be narrower than its position space (w_pos) when callers pre-reduce
+    lanes (knn fast mode). Pure jnp — works inside Pallas kernels and XLA."""
+    b, w = keys.shape
+    assert w_pos + K_PAD <= POS_MASK + 1, "position space too wide for the key field"
     slot = jax.lax.broadcasted_iota(jnp.int32, (b, K_PAD), 1)
-    runk = run_k | (jnp.int32(POS_MASK) - (w + slot))  # run slots sit past the block lanes
+    runk = run_k | (jnp.int32(POS_MASK) - (w_pos + slot))  # run slots sit past the block positions
     cand = jnp.concatenate([keys, runk], axis=1)  # [B, W + K_PAD]
 
     kcol = slot
@@ -86,14 +87,28 @@ def merge_topk_packed(
     for kk in range(n_rounds):
         m = jnp.max(cand, axis=1, keepdims=True)  # [B, 1] — pass 1
         p = jnp.int32(POS_MASK) - (m[:, 0] & jnp.int32(POS_MASK))  # [B]
-        rs = p - w  # run-slot id when the winner came from the run side
+        rs = p - w_pos  # run-slot id when the winner came from the run side
         oh = slot == rs[:, None]
         ridx = jnp.sum(jnp.where(oh, run_i, 0), axis=1)  # [B] (1 vreg wide)
-        sel = jnp.where(p < w, col0 + p, ridx)
+        sel = jnp.where(p < w_pos, col0 + p, ridx)
         new_k = jnp.where(kcol == kk, m & jnp.int32(VAL_MASK), new_k)
         new_i = jnp.where(kcol == kk, sel[:, None], new_i)
         cand = jnp.where(cand == m, jnp.int32(INT_MIN), cand)  # pass 2
     return new_k, new_i
+
+
+def merge_topk_packed(
+    run_k: jax.Array,  # [B, K_PAD] int32, value bits only (pos bits zero)
+    run_i: jax.Array,  # [B, K_PAD] int32 global indices
+    scores: jax.Array,  # [B, W] float32 block scores (mask invalid to NEG_INF)
+    col0: jax.Array,  # scalar int32: global index of the block's first column
+    n_rounds: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pack one score block's keys and fold them into the running top-K."""
+    b, w = scores.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    keys = pack_keys(scores, lane)
+    return merge_topk_keys(run_k, run_i, keys, col0, n_rounds, w)
 
 
 def _topk_kernel(nbi: int, b: int, n_rounds: int, n_items: int):

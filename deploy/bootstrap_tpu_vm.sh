@@ -31,7 +31,7 @@ export PYTHONPATH="$WORKDIR"
 mkdir -p "$ARTIFACTS"/{staging,embeddings,graphs,models,exports,telemetry}
 
 log "device smoke test (reference: scripts/vertex_smoke_test.sh)"
-python -m plotpointe_tpu.cli smoke
+python -m plotpointe_tpu.cli smoke-tpu
 
 log "done — run the pipeline with:"
 echo "  python -m plotpointe_tpu.cli pipeline --workdir $ARTIFACTS --parallel"

@@ -225,8 +225,10 @@ def _cmd_serve(args):
 
             telemetry = ServingTelemetry(root=args.telemetry_dir)
         print(json.dumps({"serving": f"http://{args.host}:{args.port}", "loaded": rt is not None,
-                          "telemetry": bool(telemetry)}))
-        stdlib_serve(args.host, args.port, runtime=rt, telemetry=telemetry, block=True)
+                          "telemetry": bool(telemetry), "micro_batch": args.micro_batch}))
+        stdlib_serve(args.host, args.port, runtime=rt, telemetry=telemetry, block=True,
+                     micro_batch=args.micro_batch, micro_batch_max=args.micro_batch_max,
+                     micro_batch_wait_ms=args.micro_batch_wait_ms)
         return
 
     from plotpointe_tpu.serving.app import create_app
@@ -645,6 +647,10 @@ def main(argv=None):
     p.add_argument("--item-embeddings", default=None)
     p.add_argument("--topk", type=int, default=20)
     p.add_argument("--telemetry-dir", default=None, help="enable request/feedback JSONL telemetry")
+    p.add_argument("--micro-batch", action="store_true",
+                   help="coalesce concurrent /recommend calls into batched device scoring")
+    p.add_argument("--micro-batch-max", type=int, default=64)
+    p.add_argument("--micro-batch-wait-ms", type=float, default=3.0)
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("smoke-tpu", help="TPU capability smoke test (5 checks)")

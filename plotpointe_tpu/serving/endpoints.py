@@ -24,11 +24,34 @@ MSG_NO_ITEMS = "item_ids required"
 
 
 class ServingState:
-    """Holds the live runtime + optional telemetry sink for one server."""
+    """Holds the live runtime + optional telemetry sink + optional
+    micro-batcher for one server.
 
-    def __init__(self, runtime: Optional[RecommenderRuntime] = None, telemetry=None):
+    micro_batch=True coalesces concurrent /recommend calls into one batched
+    device scoring call (serving/batching.py) — the served-QPS counterpart of
+    the kernel-level batch-64 bench line."""
+
+    def __init__(self, runtime: Optional[RecommenderRuntime] = None, telemetry=None,
+                 micro_batch: bool = False, micro_batch_max: int = 64,
+                 micro_batch_wait_ms: float = 3.0):
         self.runtime = runtime
         self.telemetry = telemetry
+        self.micro_batch = micro_batch
+        self.micro_batch_max = micro_batch_max
+        self.micro_batch_wait_ms = micro_batch_wait_ms
+        self.batcher = None
+        if runtime is not None:
+            self._refresh_batcher()
+
+    def _refresh_batcher(self) -> None:
+        if self.batcher is not None:
+            self.batcher.close()
+            self.batcher = None
+        if self.micro_batch and self.runtime is not None:
+            from plotpointe_tpu.serving.batching import MicroBatcher
+
+            self.batcher = MicroBatcher(self.runtime, max_batch=self.micro_batch_max,
+                                        max_wait_ms=self.micro_batch_wait_ms)
 
     # -- endpoints ----------------------------------------------------------
 
@@ -52,6 +75,7 @@ class ServingState:
         except FileNotFoundError as e:
             return 400, {"detail": str(e)}
         self.runtime = rt
+        self._refresh_batcher()
         return 200, {"status": "ok"}
 
     def recommend(self, payload: Dict[str, Any]) -> Reply:
@@ -62,9 +86,15 @@ class ServingState:
             return 400, {"detail": MSG_NO_ITEMS}
         t0 = time.perf_counter()
         try:
-            idx, scores = self.runtime.top_k_for_user_items(
-                [int(x) for x in raw_ids], k=payload.get("k")
-            )
+            ids = [int(x) for x in raw_ids]
+            if self.batcher is not None:
+                # validate per-request BEFORE coalescing so one bad request
+                # can't poison a whole batch
+                self.runtime.validate_history(ids)
+                k = int(payload.get("k") or self.runtime.cfg.topk)
+                idx, scores = self.batcher.submit(ids, k)
+            else:
+                idx, scores = self.runtime.top_k_for_user_items(ids, k=payload.get("k"))
         except (IndexError, ValueError) as e:
             if self.telemetry is not None:  # dead-letter (DLQ-topic analog)
                 self.telemetry.log_reject("recommend", payload, f"bad item_ids: {e}")

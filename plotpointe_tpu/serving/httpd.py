@@ -66,10 +66,18 @@ def serve(
     runtime: Optional[RecommenderRuntime] = None,
     telemetry=None,
     block: bool = True,
+    micro_batch: bool = False,
+    micro_batch_max: int = 64,
+    micro_batch_wait_ms: float = 3.0,
 ):
     """Start the server. Returns (server, thread) when block=False."""
+    # default listen backlog (5) drops connections under concurrent load —
+    # the whole point of micro-batching is 64+ simultaneous clients
+    ThreadingHTTPServer.request_queue_size = 128
     httpd = ThreadingHTTPServer((host, port), _Handler)
-    httpd.state = ServingState(runtime=runtime, telemetry=telemetry)  # type: ignore[attr-defined]
+    httpd.state = ServingState(runtime=runtime, telemetry=telemetry,  # type: ignore[attr-defined]
+                               micro_batch=micro_batch, micro_batch_max=micro_batch_max,
+                               micro_batch_wait_ms=micro_batch_wait_ms)
     if block:
         httpd.serve_forever()
         return httpd, None

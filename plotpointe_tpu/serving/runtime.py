@@ -34,6 +34,16 @@ class ServingConfig:
     # rounding ~4e-3 relative on near-ties)
 
 
+@functools.partial(jax.jit, static_argnames=("kk",))
+def _topk_scores_batch(item_vecs: jax.Array, q: jax.Array, kk: int):
+    """Batched retrieval: q [B, d] -> ([B, kk] indices, [B, kk] scores).
+    One [B, d] x [d, N] MXU matmul streams the catalog ONCE for the whole
+    batch — the serving stream floor is per-batch, not per-query."""
+    scores = jnp.dot(q, item_vecs.T, preferred_element_type=jnp.float32)
+    top_scores, top_idx = jax.lax.top_k(scores, kk)
+    return top_idx, top_scores
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_scores(item_vecs: jax.Array, history: jax.Array, hist_mask: jax.Array, k: int):
     """history: [Hmax] int32 padded with 0, hist_mask: [Hmax] float {0,1}."""
@@ -101,6 +111,52 @@ class RecommenderRuntime:
 
         idx, scores = _topk_scores(self._item_vecs_dev, jnp.asarray(hist), jnp.asarray(mask), K)
         return np.asarray(idx), np.asarray(scores)
+
+    def validate_history(self, ids: np.ndarray) -> None:
+        """Raise IndexError for ids the numpy gather would reject (same
+        semantics as the single-request path, incl. negative wrapping), so
+        the micro-batcher can reject bad requests per-request instead of
+        poisoning a whole coalesced batch."""
+        self._ensure_started()
+        n = self.item_vecs.shape[0]
+        a = np.asarray(ids)
+        if a.size and (int(a.max()) >= n or int(a.min()) < -n):
+            bad = a[(a >= n) | (a < -n)][0]
+            raise IndexError(f"index {int(bad)} is out of bounds for axis 0 with size {n}")
+
+    def top_k_for_batch(
+        self, histories: List[np.ndarray], ks: List[int]
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Score many users' histories in ONE batched device call (the
+        micro-batching path — serving/batching.py). Per-query semantics match
+        top_k_for_user_items' Pallas branch: user vector = f32 mean of history
+        rows, retrieve k+|history| then drop history items."""
+        from plotpointe_tpu.serving.batching import bucket_size
+
+        self._ensure_started()
+        if not self.cfg.use_device:
+            return [self._topk_numpy(np.asarray(h, np.int32), int(k))
+                    for h, k in zip(histories, ks)]
+        n = self.item_vecs.shape[0]
+        kk = min(int(max(ks)) + max(len(h) for h in histories), n)
+        q = np.stack([self.item_vecs[np.asarray(h, np.int32)].mean(axis=0) for h in histories])
+        b = len(histories)
+        bp = bucket_size(b, 64)
+        if bp > b:  # pad to a power-of-two bucket so jit caches few shapes
+            q = np.concatenate([q, np.repeat(q[-1:], bp - b, axis=0)], axis=0)
+        qd = jnp.asarray(q, dtype=self._item_vecs_dev.dtype)
+        if self.cfg.use_pallas_topk:
+            from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas
+
+            idx, scores = topk_mips_pallas(self._item_vecs_dev, qd, kk)
+        else:
+            idx, scores = _topk_scores_batch(self._item_vecs_dev, qd, kk)
+        idx_np, sc_np = np.asarray(idx[:b]), np.asarray(scores[:b])
+        out = []
+        for r, (h, k) in enumerate(zip(histories, ks)):
+            keep = ~np.isin(idx_np[r], np.asarray(h) % n)  # match numpy negative-id wrap
+            out.append((idx_np[r][keep][: int(k)], sc_np[r][keep][: int(k)]))
+        return out
 
     def _topk_numpy(self, ids: np.ndarray, K: int) -> Tuple[np.ndarray, np.ndarray]:
         item_vecs = self.item_vecs[ids]

@@ -67,8 +67,14 @@ def pad_table(table: jax.Array | np.ndarray, n_shards: int) -> jax.Array:
 
 
 def device_put_row_sharded(table: jax.Array | np.ndarray, mesh: Mesh, axis: str = "data") -> jax.Array:
-    """Pad + place a table with rows sharded over `axis` (1/n per device HBM)."""
+    """Pad + place a table with rows sharded over `axis` (1/n per device HBM).
+    Multi-process safe: when the mesh spans hosts, each process contributes
+    only its local rows (parallel/multihost.py)."""
+    from plotpointe_tpu.parallel.multihost import is_multiprocess, put_sharded
+
     t = pad_table(table, int(mesh.shape[axis]))
+    if is_multiprocess():
+        return put_sharded(np.asarray(t), mesh, P(axis))
     return jax.device_put(t, NamedSharding(mesh, P(axis)))
 
 

@@ -49,6 +49,7 @@ from plotpointe_tpu.config import TrainConfig
 from plotpointe_tpu.data.splits import Splits
 from plotpointe_tpu.graphs.csr import Graph
 from plotpointe_tpu.parallel.mesh import make_mesh
+from plotpointe_tpu.parallel.multihost import host_gather, is_multiprocess, put_replicated, put_sharded
 from plotpointe_tpu.parallel.sharded_table import device_put_row_sharded
 from plotpointe_tpu.parallel.spmd import (
     make_sharded_gat_step,
@@ -100,8 +101,13 @@ class ShardedTrainer(Trainer):
         super().__init__(model, cfg, graph, splits, item_feats=item_feats, max_pos_degree=max_pos_degree)
 
         espec = NamedSharding(self.mesh, P(axis))
-        self._src = jax.device_put(self.graph.src, espec)
-        self._dst = jax.device_put(self.graph.dst, espec)
+        self._mp = is_multiprocess()  # mesh spans hosts (DCN) -> per-process placement
+        if self._mp:
+            self._src = put_sharded(np.asarray(self.graph.src), self.mesh, P(axis))
+            self._dst = put_sharded(np.asarray(self.graph.dst), self.mesh, P(axis))
+        else:
+            self._src = jax.device_put(self.graph.src, espec)
+            self._dst = jax.device_put(self.graph.dst, espec)
         self._family = model.config_dict().get("model_family", "gat")
 
         # on-device eval (SURVEY section 2.3 "all-gather for eval scoring"):
@@ -112,10 +118,20 @@ class ShardedTrainer(Trainer):
         rep = NamedSharding(self.mesh, P())
         import dataclasses as _dc
 
-        self._eval_graph = jax.device_put(self.graph, rep)
-        self._eval_feats = jax.device_put(self.item_feats, rep)
-        self._eval_pos_tab = jax.device_put(self.user_pos_padded, rep)
-        self._eval_deg = jax.device_put(self.user_deg, rep)
+        if self._mp:
+            _rep_put = lambda t: jax.tree.map(  # noqa: E731
+                lambda a: put_replicated(np.asarray(a), self.mesh), t)
+        else:
+            _rep_put = lambda t: jax.device_put(t, rep)  # noqa: E731
+        self._eval_graph = _rep_put(self.graph)
+        self._eval_feats = _rep_put(self.item_feats)
+        self._eval_pos_tab = _rep_put(self.user_pos_padded)
+        self._eval_deg = _rep_put(self.user_deg)
+        if self._mp:  # triples/feats enter the global step from every host
+            self.item_feats = self._eval_feats
+            self.user_pos_padded = self._eval_pos_tab
+            self.user_deg = self._eval_deg
+            self.train_users = _rep_put(self.train_users)
         impl_field = "spmm_impl" if self._family == "lightgcn" else "attn_impl"
         self._eval_model = _dc.replace(model, **{impl_field: "xla"})
         self._eval_norm = None
@@ -170,9 +186,15 @@ class ShardedTrainer(Trainer):
                 self._sh_step = make_sharded_gat_step(
                     model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
                 )
-                self._ones_masks = jnp.ones(
-                    (model.n_layers, self.graph.n_padded, model.heads), jnp.float32
-                )
+                if self._mp:
+                    self._ones_masks = put_sharded(
+                        np.ones((model.n_layers, self.graph.n_padded, model.heads), np.float32),
+                        self.mesh, P(None, axis),
+                    )
+                else:
+                    self._ones_masks = jnp.ones(
+                        (model.n_layers, self.graph.n_padded, model.heads), jnp.float32
+                    )
             self._samples = _round_up(cfg.samples_per_epoch, self.n_shards)
 
     # -- param placement ------------------------------------------------------
@@ -194,8 +216,10 @@ class ShardedTrainer(Trainer):
         return TrainState(params=params, opt_state=opt_state, best_params=params)
 
     def _host_params(self, params):
-        """Gather + strip table pad rows -> checkpoint-portable pytree."""
-        p = {k: jax.tree.map(np.asarray, v) for k, v in params.items()}
+        """Gather + strip table pad rows -> checkpoint-portable pytree.
+        Multi-process: row-sharded tables span hosts, so gather via
+        process_allgather instead of np.asarray."""
+        p = {k: jax.tree.map(host_gather, v) for k, v in params.items()}
         p["user_emb"] = p["user_emb"][: self.n_users]
         if "item_emb" in p:
             p["item_emb"] = p["item_emb"][: self.n_items]

@@ -223,7 +223,8 @@ def _cmd_serve(args):
         if args.telemetry_dir:
             from plotpointe_tpu.serving.telemetry import ServingTelemetry
 
-            telemetry = ServingTelemetry(root=args.telemetry_dir)
+            telemetry = ServingTelemetry(root=args.telemetry_dir,
+                                         durable=True if args.telemetry_durable else None)
         print(json.dumps({"serving": f"http://{args.host}:{args.port}", "loaded": rt is not None,
                           "telemetry": bool(telemetry), "micro_batch": args.micro_batch}))
         stdlib_serve(args.host, args.port, runtime=rt, telemetry=telemetry, block=True,
@@ -647,6 +648,8 @@ def main(argv=None):
     p.add_argument("--item-embeddings", default=None)
     p.add_argument("--topk", type=int, default=20)
     p.add_argument("--telemetry-dir", default=None, help="enable request/feedback JSONL telemetry")
+    p.add_argument("--telemetry-durable", action="store_true",
+                   help="route telemetry through the at-least-once durable queue (Pub/Sub+DLQ analog)")
     p.add_argument("--micro-batch", action="store_true",
                    help="coalesce concurrent /recommend calls into batched device scoring")
     p.add_argument("--micro-batch-max", type=int, default=64)

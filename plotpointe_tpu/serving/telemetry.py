@@ -60,9 +60,24 @@ class ServingTelemetry:
         root: str = "tmp/telemetry",
         experiment: str = "default",
         model_version: str = "unknown",
+        durable: Optional[bool] = None,
     ):
-        self.requests = request_sink or JsonlSink(Path(root) / "requests.jsonl")
-        self.feedback = feedback_sink or JsonlSink(Path(root) / "feedback.jsonl")
+        """durable=True routes requests/feedback through the file-backed
+        at-least-once queue (serving/eventqueue.py — the Pub/Sub+DLQ analog,
+        `setup_pubsub.sh:22-35`) instead of plain JSONL appends. None
+        auto-detects an existing queue under `root` (so `cli drift` reads
+        whatever layout the server wrote)."""
+        if durable is None:
+            durable = any((Path(root) / "requests").glob("segment-*.jsonl"))
+        self.durable = durable
+        if durable:
+            from plotpointe_tpu.serving.eventqueue import DurableQueueSink
+
+            self.requests = request_sink or DurableQueueSink(Path(root) / "requests")
+            self.feedback = feedback_sink or DurableQueueSink(Path(root) / "feedback")
+        else:
+            self.requests = request_sink or JsonlSink(Path(root) / "requests.jsonl")
+            self.feedback = feedback_sink or JsonlSink(Path(root) / "feedback.jsonl")
         # dead-letter sink: the Pub/Sub DLQ-topic analog (setup_pubsub.sh:12,
         # recsys-*-dlq) — malformed/rejected events land here for ops triage
         self.rejects = JsonlSink(Path(root) / "rejects" / "rejects.jsonl")

@@ -293,6 +293,146 @@ def _reduce_call(x, dst2, tile_of, is_last, nb, eb, n_tiles, n_chunks, vma=()):
 
 
 # ---------------------------------------------------------------------------
+# head-packed multi-head forward (v3-mh)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_mh(nb: int, eb: int, d: int, heads: int):
+    """Multi-head forward with heads PACKED into the lane dim: hs/ht blocks
+    are [*, H*D] with head h owning lanes [h*D, (h+1)*D). One stream of the
+    gathered rows serves every head (the per-row fetch dominates gather cost
+    on TPU, so heads=2 costs ~1.1x heads=1 — vs 2x for per-head passes).
+    Per-head compute is a static Python unroll (H <= 8): logits, in-tile
+    denominator (row h of the den scratch), weighted one-hot MXU matmul on
+    the head's lane block."""
+
+    def kernel(tile_of, is_last, hs_ref, ht_ref, d_ref, as_ref, ad_ref,
+               out_ref, acc, dacc):
+        i = pl.program_id(0)
+        t = tile_of[i]
+        prev = tile_of[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, t != prev)
+
+        @pl.when(first)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            dacc[:] = jnp.zeros_like(dacc)
+
+        dst = d_ref[:].reshape(1, eb)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0) + t * nb
+        onehot = rows == dst  # [NB, EB]
+
+        for hh in range(heads):
+            lo = hh * d
+            hs_h = hs_ref[:, lo: lo + d].astype(jnp.float32)  # [EB, D]
+            ht_h = ht_ref[:, lo: lo + d].astype(jnp.float32)  # [NB, D]
+            gs = jnp.sum(hs_h * as_ref[hh][None, :], axis=1)  # [EB]
+            gd_tile = jnp.sum(ht_h * ad_ref[hh][None, :], axis=1)  # [NB]
+            gd = jnp.sum(jnp.where(onehot, gd_tile[:, None], 0.0), axis=0)  # [EB]
+            x = gs + gd
+            lx = jnp.where(x > 0, x, 0.2 * x)
+            e = jnp.clip(lx, -10.0, 10.0)
+            num = jnp.exp(e)
+            dacc[hh, :] += jnp.sum(jnp.where(onehot, num[None, :], 0.0), axis=1)
+            w = jnp.where(onehot, num[None, :], 0.0)
+            acc[:, lo: lo + d] += jnp.dot(w, hs_h, preferred_element_type=jnp.float32)
+
+        @pl.when(is_last[i] == 1)
+        def _():
+            for hh in range(heads):
+                lo = hh * d
+                out_ref[:, lo: lo + d] = acc[:, lo: lo + d] / (dacc[hh, :][:, None] + EPS)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "heads"))
+def _fwd_call_mh(hs, h_tiles, dst2, a_src, a_dst, tile_of, is_last,
+                 nb, eb, n_tiles, n_chunks, heads):
+    hd = hs.shape[1]
+    d = hd // heads
+    sub = eb // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((eb, hd), lambda i, to, il: (i, 0)),
+            pl.BlockSpec((nb, hd), lambda i, to, il: (to[i], 0)),
+            pl.BlockSpec((sub, 128), lambda i, to, il: (i, 0)),
+            pl.BlockSpec((heads, d), lambda i, to, il: (0, 0)),
+            pl.BlockSpec((heads, d), lambda i, to, il: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, hd), lambda i, to, il: (to[i], 0)),
+        scratch_shapes=[pltpu.VMEM((nb, hd), jnp.float32), pltpu.VMEM((8, nb), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _fwd_kernel_mh(nb, eb, d, heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * nb, hd), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_chunks * nb * eb * hd,
+            bytes_accessed=n_chunks * eb * hd * hs.dtype.itemsize + n_tiles * nb * hd * 4,
+            transcendentals=n_chunks * eb * heads,
+        ),
+    )(tile_of, is_last, hs, h_tiles, dst2, a_src, a_dst)
+
+
+def attention_v3_mh(
+    h: jax.Array,  # [N, H, D]  (D lane-padded by the caller)
+    a_src: jax.Array,  # [H, D]
+    a_dst: jax.Array,  # [H, D]
+    graph: Graph,
+    hs_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Head-packed fused multi-head forward (no dropout — the dropout path
+    keeps per-head v3 for mask-stream parity with the XLA reference impl).
+    Backward is the XLA golden path (same custom_vjp pattern as v1/v2,
+    ops/gat_kernel.py) — the packed win is the forward gather stream, which
+    dominates eval/export/serving. Covers the reference's --heads ablation
+    (`train_gat_pyg.py:203`)."""
+    L = graph.layout
+    if L is None:
+        raise ValueError("graph needs the aligned layout: call graph.with_layout() before to_device()")
+    n = graph.n_nodes
+    _, heads, d = h.shape
+    if heads > 8:
+        raise ValueError("attention_v3_mh packs heads into the den scratch rows; heads <= 8")
+    nb, eb, n_tiles, n_chunks = L.nb, L.eb, L.n_tiles, L.n_chunks
+    dst2 = L.dst.reshape(L.e_aligned // 128, 128)
+
+    def fwd(h, a_src, a_dst):
+        hp = jnp.concatenate([h, jnp.zeros((1, heads, d), h.dtype)], axis=0)
+        hp2 = hp.reshape(n + 1, heads * d)  # heads -> lane blocks
+        hs = hp2.astype(hs_dtype)[L.src]  # ONE [E_al, H*D] gather for all heads
+        pad_rows = n_tiles * nb - (n + 1)
+        h_tiles = jnp.concatenate([hp2, jnp.zeros((pad_rows, heads * d), hp2.dtype)], axis=0)
+        out = _fwd_call_mh(hs, h_tiles, dst2, a_src, a_dst, L.tile_of, L.is_last,
+                           nb, eb, n_tiles, n_chunks, heads)
+        return out[:n].reshape(n, heads, d)
+
+    @jax.custom_vjp
+    def attn(h, a_src, a_dst):
+        return fwd(h, a_src, a_dst)
+
+    def attn_fwd(h, a_src, a_dst):
+        return fwd(h, a_src, a_dst), (h, a_src, a_dst)
+
+    def attn_bwd(res, g):
+        from plotpointe_tpu.ops import segment as _seg
+
+        h, a_src, a_dst = res
+        _, vjp = jax.vjp(
+            lambda h_, as_, ad_: _seg.segment_softmax_attention(
+                h_, as_, ad_, graph, impl="xla"), h, a_src, a_dst)
+        return vjp(g)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn(h, a_src, a_dst)
+
+
+# ---------------------------------------------------------------------------
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 

@@ -28,6 +28,10 @@ def synthetic_interactions(
     item_sigma: Optional[float] = None,
     rating_marginal: str = "affinity",  # {affinity, amazon}
     ts_mode: str = "uniform",  # {uniform, recency}
+    n_clusters: int = 0,
+    item_cluster_sigma: float = 0.35,
+    user_cluster_sigma: float = 0.6,
+    candidate_pool: int = 16,
 ):
     """Build an interactions table (user_id, asin, rating, ts, verified, helpful).
 
@@ -45,8 +49,27 @@ def synthetic_interactions(
     """
     rng = np.random.default_rng(seed)
 
-    u_fac = rng.normal(size=(n_users, n_factors)).astype(np.float32)
-    i_fac = rng.normal(size=(n_items, n_factors)).astype(np.float32)
+    if n_clusters > 0:
+        # Category-structured latents (the real-data property the marginal-only
+        # generator lacked, VERDICT r3 missing #2): items live near one of K
+        # heavy-tailed cluster centroids (Amazon categories), users near one
+        # too — so co-occurrence is block-structured and item features (drawn
+        # from the SAME latents, synthetic_features) genuinely predict it.
+        # This is what makes a 20-step learner separate from init: gradients
+        # from different users agree on the category axes.
+        centroids = rng.normal(size=(n_clusters, n_factors)).astype(np.float32)
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+        cluster_p = rng.lognormal(mean=0.0, sigma=1.0, size=n_clusters)
+        cluster_p /= cluster_p.sum()
+        item_cluster = rng.choice(n_clusters, size=n_items, p=cluster_p)
+        user_cluster = rng.choice(n_clusters, size=n_users, p=cluster_p)
+        i_fac = centroids[item_cluster] + item_cluster_sigma * rng.normal(
+            size=(n_items, n_factors)).astype(np.float32)
+        u_fac = centroids[user_cluster] + user_cluster_sigma * rng.normal(
+            size=(n_users, n_factors)).astype(np.float32)
+    else:
+        u_fac = rng.normal(size=(n_users, n_factors)).astype(np.float32)
+        i_fac = rng.normal(size=(n_items, n_factors)).astype(np.float32)
     u_fac /= np.linalg.norm(u_fac, axis=1, keepdims=True)
     i_fac /= np.linalg.norm(i_fac, axis=1, keepdims=True)
 
@@ -64,7 +87,7 @@ def synthetic_interactions(
 
     # Vectorized affinity-biased item choice: sample C candidates by popularity,
     # then pick argmax over (affinity + gumbel noise) per interaction.
-    C = 16
+    C = candidate_pool
     cand = rng.choice(n_items, size=(n_interactions, C), p=popularity)
     aff = np.einsum("nf,ncf->nc", u_fac[users], i_fac[cand]).astype(np.float32)
     gumbel = rng.gumbel(size=(n_interactions, C)).astype(np.float32)
@@ -116,6 +139,8 @@ def amazon_calibrated_interactions(
     seed: int = 0,
     affinity_strength: float = 3.0,
     return_factors: bool = False,
+    n_clusters: int = 0,
+    candidate_pool: int = 16,
 ):
     """Full-Amazon-Electronics-shape dataset (DATA_BASELINE.md:13-17 exact
     cardinalities) with degree marginals tuned to the reference's published
@@ -144,6 +169,8 @@ def amazon_calibrated_interactions(
         item_sigma=1.52,
         rating_marginal="amazon",
         ts_mode="recency",
+        n_clusters=n_clusters,
+        candidate_pool=candidate_pool,
     )
 
 
@@ -198,17 +225,20 @@ def synthetic_catalog(interactions, n_extra_items: int = 0, seed: int = 0, item_
     )
 
 
-def synthetic_features(n_items: int, dim: int, seed: int = 0, factors: Optional[np.ndarray] = None) -> np.ndarray:
+def synthetic_features(n_items: int, dim: int, seed: int = 0, factors: Optional[np.ndarray] = None,
+                       noise: float = 0.3) -> np.ndarray:
     """L2-normalized synthetic item feature matrix (stand-in for txt/fused npy).
 
     If `factors` given (from synthetic_interactions), features embed the latent
-    structure so feature-driven models have signal.
-    """
+    structure so feature-driven models have signal; `noise` sets the
+    uninformative-component scale (real MiniLM/fused embeddings of
+    co-purchased electronics are strongly category-correlated — lower noise
+    models that)."""
     rng = np.random.default_rng(seed + 2)
     feats = rng.normal(size=(n_items, dim)).astype(np.float32)
     if factors is not None:
         k = factors.shape[1]
         proj = rng.normal(size=(k, dim)).astype(np.float32)
-        feats = feats * 0.3 + factors[:n_items] @ proj
+        feats = feats * noise + factors[:n_items] @ proj
     feats /= np.linalg.norm(feats, axis=1, keepdims=True) + 1e-8
     return feats.astype(np.float32)

@@ -73,6 +73,9 @@ def run_anchor(
     skip_reference: bool = False,
     optimizer: str = "adam",
     warmup_steps: int = 0,
+    n_clusters: int = 0,
+    candidate_pool: int = 16,
+    feature_noise: float = 0.3,
 ):
     import jax
     import jax.numpy as jnp
@@ -94,7 +97,8 @@ def run_anchor(
     elif scale == "micro":  # test-tier: seconds on CPU
         shape = dict(n_users=2_000, n_items=1_000, n_interactions=20_000)
     df, (u_fac, i_fac) = amazon_calibrated_interactions(
-        **shape, seed=seed, affinity_strength=affinity, return_factors=True
+        **shape, seed=seed, affinity_strength=affinity, return_factors=True,
+        n_clusters=n_clusters, candidate_pool=candidate_pool,
     )
 
     pairs = df.drop_duplicates(subset=["user_id", "asin"])
@@ -120,9 +124,12 @@ def run_anchor(
     # item factor rows in interacted-item order (asin B{idx:09d} encodes the row)
     asins = list(__import__("pandas").unique(df["asin"]))
     fac_rows = np.stack([i_fac[int(a[1:])] for a in asins])
-    feats = synthetic_features(splits.n_items, 128, seed=seed, factors=fac_rows)
+    feats = synthetic_features(splits.n_items, 128, seed=seed, factors=fac_rows,
+                               noise=feature_noise)
 
     results = {"dataset": realized, "affinity_strength": affinity, "scale": scale,
+               "n_clusters": n_clusters, "candidate_pool": candidate_pool,
+               "feature_noise": feature_noise,
                "protocol": "leave-last chronological, 1+1000 sampled negatives, strict rank",
                "reference_band": {"ndcg@20": 0.0160, "recall@20": 0.0433,
                                   "source": "PHASE5_ABLATIONS_REPORT.md:20 (fused+BPR, real data)"}}
@@ -209,6 +216,10 @@ def main(argv=None):
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
     ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--clusters", type=int, default=0,
+                    help="category-structured latents: K heavy-tailed clusters (0 = marginal-only r3 generator)")
+    ap.add_argument("--candidate-pool", type=int, default=16)
+    ap.add_argument("--feature-noise", type=float, default=0.3)
     ap.add_argument("--gate-baseline", default=None,
                     help="json with metric bands; exit 3 when outside them")
     args = ap.parse_args(argv)
@@ -218,6 +229,8 @@ def main(argv=None):
         seed=args.seed, out=args.out, skip_beyond=args.skip_beyond,
         skip_baselines=args.skip_baselines, skip_reference=args.skip_reference,
         optimizer=args.optimizer, warmup_steps=args.warmup_steps,
+        n_clusters=args.clusters, candidate_pool=args.candidate_pool,
+        feature_noise=args.feature_noise,
     )
     if args.gate_baseline:
         spec = json.loads(Path(args.gate_baseline).read_text())

@@ -1,0 +1,111 @@
+"""Declarative provisioning (tools/provision.py — the terraform/setup_bq/
+setup_pubsub analog) and per-stage job specs (tools/jobs.py — the Vertex
+custom-job config analog)."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from plotpointe_tpu.tools.jobs import load_job, render_command, substitute
+from plotpointe_tpu.tools.provision import (
+    LocalDriver, State, apply, gcloud_command, load_spec, plan,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _spec():
+    return load_spec(REPO / "deploy" / "infra.yaml")
+
+
+def test_plan_apply_idempotent(tmp_path):
+    spec = _spec()
+    state = State(tmp_path / "state.json")
+    driver = LocalDriver(tmp_path)
+    actions = plan(spec, state)
+    assert all(a["op"] == "create" for a in actions)
+    counts = apply(spec, state, driver, actions)
+    assert counts["create"] == len(spec["resources"])
+
+    # terraform semantics: re-apply of an unchanged spec is a pure no-op
+    state2 = State(tmp_path / "state.json")
+    actions2 = plan(spec, state2)
+    assert all(a["op"] == "noop" for a in actions2)
+
+    # local driver materialized the runnable resources
+    assert (tmp_path / "plotpointe-artifacts" / ".store.json").exists()
+    assert (tmp_path / "telemetry" / "recsys_logs" / "requests" / "schema.json").exists()
+    assert (tmp_path / "queues" / "recsys-requests" / "queue.json").exists()
+    # external resources recorded with their creation command
+    assert "gcloud compute tpus tpu-vm create" in state2.resources["tpu_vm.plotpointe-v5e"]["command"]
+
+
+def test_spec_change_replaces_and_removal_deletes(tmp_path):
+    spec = _spec()
+    state = State(tmp_path / "state.json")
+    driver = LocalDriver(tmp_path)
+    apply(spec, state, driver, plan(spec, state))
+
+    spec["resources"][0]["retention_days"] = 60  # drift -> replace
+    removed = spec["resources"].pop()  # drop one queue -> delete
+    state = State(tmp_path / "state.json")
+    ops = {a["id"]: a["op"] for a in plan(spec, state)}
+    assert ops["artifact_store.plotpointe-artifacts"] == "replace"
+    assert ops[f"event_queue.{removed['name']}"] == "delete"
+    counts = apply(spec, state, driver, plan(spec, state))
+    assert counts["replace"] == 1 and counts["delete"] == 1
+    assert not (tmp_path / "queues" / removed["name"]).exists()
+
+
+def test_gcloud_render_covers_every_kind():
+    for res in _spec()["resources"]:
+        cmd = gcloud_command(res, "proj")
+        assert res["name"] in cmd
+    # pubsub parity: DLQ + 5 delivery attempts (setup_pubsub.sh:22-35)
+    q = [r for r in _spec()["resources"] if r["kind"] == "event_queue"][0]
+    cmd = gcloud_command(q, "proj")
+    assert "--dead-letter-topic" in cmd and "--max-delivery-attempts=5" in cmd
+
+
+def test_job_substitution_pattern():
+    assert substitute("x ${A} ${B:-def}", {"A": "1"}) == "x 1 def"
+    assert substitute("${A:-d}", {"A": "v"}) == "v"
+    with pytest.raises(KeyError):
+        substitute("${MISSING}", {})
+
+
+def test_every_job_spec_loads_and_renders():
+    for f in sorted((REPO / "deploy" / "jobs").glob("*.yaml")):
+        spec = load_job(f)
+        cmd = render_command(spec, {"CHECKPOINT": "ckpt.npz", "ARTIFACTS": "tmp/a"})
+        assert cmd.startswith("python -m plotpointe_tpu.cli"), f
+        assert "${" not in cmd, f"unresolved vars in {f}: {cmd}"
+
+
+def test_job_spec_cli_subcommands_exist():
+    help_text = subprocess.run(
+        [sys.executable, "-m", "plotpointe_tpu.cli", "--help"],
+        capture_output=True, text=True, cwd=REPO,
+        env={"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"},
+    ).stdout
+    for f in sorted((REPO / "deploy" / "jobs").glob("*.yaml")):
+        cmd = render_command(load_job(f), {"CHECKPOINT": "c", "ARTIFACTS": "a"})
+        for part in cmd.split("&&"):
+            sub = part.strip().split("plotpointe_tpu.cli ")[1].split()[0]
+            assert sub in help_text, f"{f}: unknown subcommand {sub}"
+
+
+def test_job_dry_run_end_to_end(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "plotpointe_tpu.tools.jobs", "run",
+         str(REPO / "deploy" / "jobs" / "train_gat_v5e.yaml"),
+         "--set", "EPOCHS=3", "--dry-run"],
+        capture_output=True, text=True, cwd=REPO,
+        env={"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin"},
+    )
+    assert out.returncode == 0, out.stderr
+    meta = json.loads(out.stdout.strip().splitlines()[0])
+    assert "--epochs 3" in meta["command"]
+    assert meta["restart_on_preemption"] is True

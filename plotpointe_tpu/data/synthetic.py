@@ -141,6 +141,8 @@ def amazon_calibrated_interactions(
     return_factors: bool = False,
     n_clusters: int = 0,
     candidate_pool: int = 16,
+    item_cluster_sigma: float = 0.35,
+    user_cluster_sigma: float = 0.6,
 ):
     """Full-Amazon-Electronics-shape dataset (DATA_BASELINE.md:13-17 exact
     cardinalities) with degree marginals tuned to the reference's published
@@ -171,6 +173,8 @@ def amazon_calibrated_interactions(
         ts_mode="recency",
         n_clusters=n_clusters,
         candidate_pool=candidate_pool,
+        item_cluster_sigma=item_cluster_sigma,
+        user_cluster_sigma=user_cluster_sigma,
     )
 
 

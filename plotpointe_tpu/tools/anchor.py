@@ -76,6 +76,8 @@ def run_anchor(
     n_clusters: int = 0,
     candidate_pool: int = 16,
     feature_noise: float = 0.3,
+    item_cluster_sigma: float = 0.35,
+    user_cluster_sigma: float = 0.6,
 ):
     import jax
     import jax.numpy as jnp
@@ -99,6 +101,7 @@ def run_anchor(
     df, (u_fac, i_fac) = amazon_calibrated_interactions(
         **shape, seed=seed, affinity_strength=affinity, return_factors=True,
         n_clusters=n_clusters, candidate_pool=candidate_pool,
+        item_cluster_sigma=item_cluster_sigma, user_cluster_sigma=user_cluster_sigma,
     )
 
     pairs = df.drop_duplicates(subset=["user_id", "asin"])
@@ -220,6 +223,8 @@ def main(argv=None):
                     help="category-structured latents: K heavy-tailed clusters (0 = marginal-only r3 generator)")
     ap.add_argument("--candidate-pool", type=int, default=16)
     ap.add_argument("--feature-noise", type=float, default=0.3)
+    ap.add_argument("--item-cluster-sigma", type=float, default=0.35)
+    ap.add_argument("--user-cluster-sigma", type=float, default=0.6)
     ap.add_argument("--gate-baseline", default=None,
                     help="json with metric bands; exit 3 when outside them")
     args = ap.parse_args(argv)
@@ -231,6 +236,8 @@ def main(argv=None):
         optimizer=args.optimizer, warmup_steps=args.warmup_steps,
         n_clusters=args.clusters, candidate_pool=args.candidate_pool,
         feature_noise=args.feature_noise,
+        item_cluster_sigma=args.item_cluster_sigma,
+        user_cluster_sigma=args.user_cluster_sigma,
     )
     if args.gate_baseline:
         spec = json.loads(Path(args.gate_baseline).read_text())

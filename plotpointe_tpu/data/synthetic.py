@@ -32,6 +32,7 @@ def synthetic_interactions(
     item_cluster_sigma: float = 0.35,
     user_cluster_sigma: float = 0.6,
     candidate_pool: int = 16,
+    cluster_pool_bias: float = 0.0,
 ):
     """Build an interactions table (user_id, asin, rating, ts, verified, helpful).
 
@@ -89,6 +90,28 @@ def synthetic_interactions(
     # then pick argmax over (affinity + gumbel noise) per interaction.
     C = candidate_pool
     cand = rng.choice(n_items, size=(n_interactions, C), p=popularity)
+    if n_clusters > 0 and cluster_pool_bias > 0.0:
+        # category browsing: a `cluster_pool_bias` fraction of each
+        # interaction's candidate pool is drawn from the USER's own cluster
+        # (by within-cluster popularity) — real shoppers browse category
+        # pages, which is what makes real co-purchase graphs category-pure
+        # even in huge catalogs. Without this, large K dilutes co-occurrence
+        # (a popularity-drawn pool rarely contains same-cluster items).
+        uc = user_cluster[users]  # [n_interactions]
+        in_cluster = rng.random((n_interactions, C)) < cluster_pool_bias
+        for k in range(n_clusters):
+            items_k = np.flatnonzero(item_cluster == k)
+            if items_k.size == 0:
+                continue
+            rows = np.flatnonzero(uc == k)
+            if rows.size == 0:
+                continue
+            p_k = popularity[items_k] / popularity[items_k].sum()
+            mask_k = in_cluster[rows]
+            draws = rng.choice(items_k, size=int(mask_k.sum()), p=p_k)
+            block = cand[rows]
+            block[mask_k] = draws
+            cand[rows] = block
     aff = np.einsum("nf,ncf->nc", u_fac[users], i_fac[cand]).astype(np.float32)
     gumbel = rng.gumbel(size=(n_interactions, C)).astype(np.float32)
     pick = np.argmax(aff * affinity_strength + gumbel, axis=1)
@@ -143,6 +166,7 @@ def amazon_calibrated_interactions(
     candidate_pool: int = 16,
     item_cluster_sigma: float = 0.35,
     user_cluster_sigma: float = 0.6,
+    cluster_pool_bias: float = 0.0,
 ):
     """Full-Amazon-Electronics-shape dataset (DATA_BASELINE.md:13-17 exact
     cardinalities) with degree marginals tuned to the reference's published
@@ -175,6 +199,7 @@ def amazon_calibrated_interactions(
         candidate_pool=candidate_pool,
         item_cluster_sigma=item_cluster_sigma,
         user_cluster_sigma=user_cluster_sigma,
+        cluster_pool_bias=cluster_pool_bias,
     )
 
 

@@ -78,6 +78,7 @@ def run_anchor(
     feature_noise: float = 0.3,
     item_cluster_sigma: float = 0.35,
     user_cluster_sigma: float = 0.6,
+    cluster_pool_bias: float = 0.0,
 ):
     import jax
     import jax.numpy as jnp
@@ -102,6 +103,7 @@ def run_anchor(
         **shape, seed=seed, affinity_strength=affinity, return_factors=True,
         n_clusters=n_clusters, candidate_pool=candidate_pool,
         item_cluster_sigma=item_cluster_sigma, user_cluster_sigma=user_cluster_sigma,
+        cluster_pool_bias=cluster_pool_bias,
     )
 
     pairs = df.drop_duplicates(subset=["user_id", "asin"])
@@ -225,6 +227,8 @@ def main(argv=None):
     ap.add_argument("--feature-noise", type=float, default=0.3)
     ap.add_argument("--item-cluster-sigma", type=float, default=0.35)
     ap.add_argument("--user-cluster-sigma", type=float, default=0.6)
+    ap.add_argument("--cluster-pool-bias", type=float, default=0.0,
+                    help="fraction of each candidate pool drawn from the user's own cluster (category browsing)")
     ap.add_argument("--gate-baseline", default=None,
                     help="json with metric bands; exit 3 when outside them")
     args = ap.parse_args(argv)
@@ -238,6 +242,7 @@ def main(argv=None):
         feature_noise=args.feature_noise,
         item_cluster_sigma=args.item_cluster_sigma,
         user_cluster_sigma=args.user_cluster_sigma,
+        cluster_pool_bias=args.cluster_pool_bias,
     )
     if args.gate_baseline:
         spec = json.loads(Path(args.gate_baseline).read_text())

@@ -209,8 +209,13 @@ def run_anchor(
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    # defaults = the round-4 calibrated LEARNABLE regime (category-structured
+    # latents + category browsing): a bare `cli anchor` reproduces the closing
+    # result — protocol-exact GAT 0.0218 NDCG@20 at full shape, 2.87x chance /
+    # 4.19x init, above the reference's real-data band (0.0160). The round-3
+    # marginal-only generator is `--clusters 0 --affinity 3 --candidate-pool 16`.
     ap.add_argument("--scale", choices=["full", "mini", "micro"], default="full")
-    ap.add_argument("--affinity", type=float, default=3.0)
+    ap.add_argument("--affinity", type=float, default=14.0)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--steps-per-epoch", type=int, default=1)
     ap.add_argument("--beyond-steps", type=int, default=32)
@@ -221,13 +226,13 @@ def main(argv=None):
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
     ap.add_argument("--warmup-steps", type=int, default=0)
-    ap.add_argument("--clusters", type=int, default=0,
+    ap.add_argument("--clusters", type=int, default=64,
                     help="category-structured latents: K heavy-tailed clusters (0 = marginal-only r3 generator)")
-    ap.add_argument("--candidate-pool", type=int, default=16)
-    ap.add_argument("--feature-noise", type=float, default=0.3)
+    ap.add_argument("--candidate-pool", type=int, default=64)
+    ap.add_argument("--feature-noise", type=float, default=0.02)
     ap.add_argument("--item-cluster-sigma", type=float, default=0.35)
-    ap.add_argument("--user-cluster-sigma", type=float, default=0.6)
-    ap.add_argument("--cluster-pool-bias", type=float, default=0.0,
+    ap.add_argument("--user-cluster-sigma", type=float, default=0.35)
+    ap.add_argument("--cluster-pool-bias", type=float, default=0.6,
                     help="fraction of each candidate pool drawn from the user's own cluster (category browsing)")
     ap.add_argument("--gate-baseline", default=None,
                     help="json with metric bands; exit 3 when outside them")

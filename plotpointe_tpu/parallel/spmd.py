@@ -251,6 +251,7 @@ def make_sharded_gat_step_fused(
     axis: str = "data",
     dropout_rate: float = 0.0,
     hs_dtype=jnp.bfloat16,
+    overlay_dtype=None,
 ) -> Callable:
     """Fully sharded GAT training step on the fused Pallas kernels: the
     multi-chip counterpart of the single-chip flagship path (attn_impl=
@@ -261,7 +262,16 @@ def make_sharded_gat_step_fused(
 
     step(params, item_feats, rng, u, i, j) -> (grads, loss); heads must be 1
     (the fused flagship config). Dropout masks are drawn in-kernel per device
-    from fold_in(rng, layer, device)."""
+    from fold_in(rng, layer, device).
+
+    overlay_dtype: dtype for the per-layer psum overlay payloads (None = keep
+    f32, exact). The overlay is one-writer-per-row (each destination tile is
+    owned by exactly one device; other devices contribute exact zeros), so a
+    bf16 psum loses ONLY the bf16 quantization of the written activation —
+    no cross-device accumulation error — while halving the dominant wire
+    traffic (scaling_audit: the per-layer [N,128] psums are ~90% of
+    wire bytes; bf16 overlays lift the predicted 8-chip efficiency from
+    ~79% to ~88%)."""
     n_nodes = n_users + n_items
     n_shards = int(mesh.shape[axis])
     loss_fn_elem = LOSSES[loss_name]
@@ -309,7 +319,10 @@ def make_sharded_gat_step_fused(
                     out_l = attention_v3(h, layer["a_src"], layer["a_dst"], g_l,
                                          dropout_rate=dropout_rate, rng=lrng,
                                          hs_dtype=hs_dtype)
-                    out = jax.lax.psum(out_l, axis)  # overlay: off-shard rows are exact zeros
+                    if overlay_dtype is not None:
+                        out_l = out_l.astype(overlay_dtype)
+                    # overlay: off-shard rows are exact zeros (one writer/row)
+                    out = jax.lax.psum(out_l, axis).astype(jnp.float32)
                     x = out[:, 0, :]
                     if model.use_bias:
                         x = x + layer["b"]
@@ -575,6 +588,7 @@ def make_sharded_spmm(
     nb: int = 256,
     eb: int = 1024,
     xs_dtype=jnp.bfloat16,
+    overlay_dtype=None,
 ) -> Callable:
     """Multi-chip static SpMM operator: fn(x [N, F] replicated) -> y [N, F].
 
@@ -617,7 +631,12 @@ def make_sharded_spmm(
         xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
         xs = _pad_cols(xp, _round_up_128(d)).astype(xs_dtype)[idx_l]
         out = _wreduce_call(xs, w2_l, dst2_l, to_l, il_l, nb, eb, n_tiles, nc)
-        return jax.lax.psum(out[:n, :d], axis)
+        o = out[:n, :d]
+        if overlay_dtype is not None:
+            # one-writer-per-row overlay: bf16 psum loses only the written
+            # value's quantization, halves the wire (see gat fused docstring)
+            o = o.astype(overlay_dtype)
+        return jax.lax.psum(o, axis).astype(jnp.float32)
 
     fwd_specs = (P(), P(axis), P(axis), P(axis), P(axis), P(axis))
 

@@ -144,3 +144,55 @@ def test_sharded_fused_gat_step_matches_single(devices8, setup):
     for got_l, want_l in zip(grads["layers"], want_grads["layers"]):
         for k in got_l:
             np.testing.assert_allclose(np.asarray(got_l[k]), np.asarray(want_l[k]), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.multidevice
+def test_sharded_fused_gat_step_bf16_overlay(devices8, setup):
+    """overlay_dtype=bf16: the psum payloads halve (the dominant wire cost,
+    tools/scaling_audit.py) and — because the overlay is one-writer-per-row —
+    the loss deviates from the exact f32 step only by per-value bf16
+    quantization, not accumulation error."""
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.parallel.sharded_table import device_put_row_sharded
+    from plotpointe_tpu.parallel.spmd import make_sharded_gat_step_fused, shard_layout_by_tiles
+
+    g, feats, model, params, (n_users, n_items) = setup
+    mesh = make_mesh({"data": 8}, devices=devices8)
+    stacked = shard_layout_by_tiles(g, 8, nb=8, eb=128)
+    rng = np.random.default_rng(4)
+    B = 64
+    u = jnp.asarray(rng.integers(0, n_users, B).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    j = jnp.asarray(rng.integers(0, n_items, B).astype(np.int32))
+    feats_j = jnp.asarray(feats)
+    sharded_params = dict(params)
+    sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh)
+
+    exact = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
+                                        hs_dtype=jnp.float32)
+    cheap = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
+                                        hs_dtype=jnp.float32, overlay_dtype=jnp.bfloat16)
+    _, loss_exact = exact(sharded_params, feats_j, jax.random.key(9), u, i, j)
+    grads_b, loss_b = cheap(sharded_params, feats_j, jax.random.key(9), u, i, j)
+    np.testing.assert_allclose(float(loss_b), float(loss_exact), rtol=5e-3)
+    assert np.isfinite(np.asarray(grads_b["user_emb"])).all()
+
+
+@pytest.mark.multidevice
+def test_sharded_spmm_bf16_overlay(devices8, setup):
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.graphs.csr import symmetric_normalized_weights
+    from plotpointe_tpu.parallel.spmd import make_sharded_spmm
+
+    g, feats, model, params, (n_users, n_items) = setup
+    mesh = make_mesh({"data": 8}, devices=devices8)
+    vals = symmetric_normalized_weights(g)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 16)).astype(np.float32))
+    exact = make_sharded_spmm(mesh, g, vals, nb=8, eb=128, xs_dtype=jnp.float32)
+    cheap = make_sharded_spmm(mesh, g, vals, nb=8, eb=128, xs_dtype=jnp.float32,
+                              overlay_dtype=jnp.bfloat16)
+    ye, yb = exact(x), cheap(x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ye), rtol=1e-2, atol=1e-2)

@@ -723,13 +723,32 @@ def main() -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # noqa: BLE001
             pass
-    _merge({"device": str(jax.devices()[0]), "bench_mode": "fast" if fast else "full"})
+    # the remote-TPU grant can refuse attachment transiently ("Unable to
+    # initialize backend 'axon'"); retry with cooldowns, and if the device
+    # never comes up still run the host-only + subprocess sections and emit
+    # a populated line instead of crashing with nothing recorded
+    device_ok = False
+    for attempt in range(3):
+        try:
+            _merge({"device": str(jax.devices()[0]),
+                    "bench_mode": "fast" if fast else "full"})
+            device_ok = True
+            break
+        except Exception as e:  # noqa: BLE001
+            _merge({"device_error": _err(e), "bench_mode": "fast" if fast else "full"})
+            if _left() < 200:
+                break
+            time.sleep(60)
 
+    HOST_ONLY = {"ui_build", "scaling"}  # no live device needed
     skipped = []
     for name, est_s, fn, in_fast in SECTIONS:
         if only is not None and name != only:
             continue
         if fast and not in_fast and only is None:
+            continue
+        if not device_ok and name not in HOST_ONLY:
+            skipped.append(name)
             continue
         est = est_s if not fast else min(est_s, 45)
         if _left() < 0.5 * est:

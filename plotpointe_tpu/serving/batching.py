@@ -54,14 +54,24 @@ class MicroBatcher:
     """
 
     def __init__(self, runtime, max_batch: int = 64, max_wait_ms: float = 3.0,
-                 timeout_s: float = 30.0):
+                 timeout_s: float = 30.0, max_in_flight: int = 4):
         self.runtime = runtime
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.timeout_s = timeout_s
         self.stats = BatcherStats()
+        self._stats_lock = threading.Lock()
         self._q: "queue.Queue[_Slot]" = queue.Queue()
         self._stop = threading.Event()
+        # pipelined dispatch: up to `max_in_flight` batches scored
+        # concurrently. Matters when per-dispatch latency >> kernel time
+        # (e.g. a remote-attached device): one in-flight batch would idle the
+        # device between round trips, while the single-request path naturally
+        # pipelines one dispatch per handler thread.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max(1, int(max_in_flight)))
+        self._sem = threading.Semaphore(max(1, int(max_in_flight)))
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
 
@@ -69,6 +79,7 @@ class MicroBatcher:
         self._stop.set()
         self._q.put(None)  # type: ignore[arg-type] - wake the dispatcher
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False)
 
     # -- handler-thread side -------------------------------------------------
 
@@ -104,12 +115,20 @@ class MicroBatcher:
                 if nxt is None:
                     break
                 batch.append(nxt)
+            self._sem.acquire()
+            self._pool.submit(self._run_release, batch)
+
+    def _run_release(self, batch: List[_Slot]) -> None:
+        try:
             self._run(batch)
+        finally:
+            self._sem.release()
 
     def _run(self, batch: List[_Slot]) -> None:
-        self.stats.n_requests += len(batch)
-        self.stats.n_batches += 1
-        self.stats.max_batch = max(self.stats.max_batch, len(batch))
+        with self._stats_lock:
+            self.stats.n_requests += len(batch)
+            self.stats.n_batches += 1
+            self.stats.max_batch = max(self.stats.max_batch, len(batch))
         try:
             results = self.runtime.top_k_for_batch(
                 [s.item_ids for s in batch], [s.k for s in batch]

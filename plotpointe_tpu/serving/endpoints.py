@@ -33,12 +33,13 @@ class ServingState:
 
     def __init__(self, runtime: Optional[RecommenderRuntime] = None, telemetry=None,
                  micro_batch: bool = False, micro_batch_max: int = 64,
-                 micro_batch_wait_ms: float = 3.0):
+                 micro_batch_wait_ms: float = 3.0, micro_batch_in_flight: int = 4):
         self.runtime = runtime
         self.telemetry = telemetry
         self.micro_batch = micro_batch
         self.micro_batch_max = micro_batch_max
         self.micro_batch_wait_ms = micro_batch_wait_ms
+        self.micro_batch_in_flight = micro_batch_in_flight
         self.batcher = None
         if runtime is not None:
             self._refresh_batcher()
@@ -51,7 +52,8 @@ class ServingState:
             from plotpointe_tpu.serving.batching import MicroBatcher
 
             self.batcher = MicroBatcher(self.runtime, max_batch=self.micro_batch_max,
-                                        max_wait_ms=self.micro_batch_wait_ms)
+                                        max_wait_ms=self.micro_batch_wait_ms,
+                                        max_in_flight=self.micro_batch_in_flight)
 
     # -- endpoints ----------------------------------------------------------
 

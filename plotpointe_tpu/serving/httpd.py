@@ -69,6 +69,7 @@ def serve(
     micro_batch: bool = False,
     micro_batch_max: int = 64,
     micro_batch_wait_ms: float = 3.0,
+    micro_batch_in_flight: int = 4,
 ):
     """Start the server. Returns (server, thread) when block=False."""
     # default listen backlog (5) drops connections under concurrent load —
@@ -77,7 +78,8 @@ def serve(
     httpd = ThreadingHTTPServer((host, port), _Handler)
     httpd.state = ServingState(runtime=runtime, telemetry=telemetry,  # type: ignore[attr-defined]
                                micro_batch=micro_batch, micro_batch_max=micro_batch_max,
-                               micro_batch_wait_ms=micro_batch_wait_ms)
+                               micro_batch_wait_ms=micro_batch_wait_ms,
+                               micro_batch_in_flight=micro_batch_in_flight)
     if block:
         httpd.serve_forever()
         return httpd, None

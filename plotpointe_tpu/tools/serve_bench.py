@@ -48,18 +48,33 @@ def _client_loop(port: int, payloads, stop_at: float, lat_out: list):
 
 
 def measure(runtime, micro_batch: bool, clients: int, seconds: float,
-            n_items: int, k: int = 20) -> dict:
+            n_items: int, k: int = 20, wait_ms: float = 20.0,
+            in_flight: int = 16) -> dict:
     from plotpointe_tpu.serving.httpd import serve
 
     server, thread = serve(host="127.0.0.1", port=0, runtime=runtime, block=False,
                            micro_batch=micro_batch, micro_batch_max=64,
-                           micro_batch_wait_ms=2.0)
+                           micro_batch_wait_ms=wait_ms,
+                           micro_batch_in_flight=in_flight)
     port = server.server_address[1]
     rng = np.random.default_rng(0)
     payloads = [json.dumps({"item_ids": rng.choice(n_items, size=5, replace=False).tolist(),
                             "k": k}).encode() for _ in range(256)]
     try:
-        # warm the jit caches through the real path before timing
+        # warm the jit caches DIRECTLY first: on the remote-compile tunnel a
+        # first compile takes 30-60 s, far beyond any HTTP client timeout
+        hist = list(range(1, 6))
+        if runtime.cfg.use_device:
+            runtime.top_k_for_user_items(hist, k=k)
+            if micro_batch:
+                # every power-of-2 bucket is a separate jit program; compile
+                # them all up front or mid-measurement compiles (30-60 s each
+                # on the remote tunnel) poison the latency numbers
+                b = 1
+                while b <= 64:
+                    runtime.top_k_for_batch([np.asarray(hist, np.int32)] * b, [k] * b)
+                    b *= 2
+        # then warm the HTTP path itself
         warm = []
         _client_loop(port, payloads, time.perf_counter() + 2.0, warm)
         lats: list = []

@@ -20,7 +20,11 @@ def _cmd_synth(args):
 
     store = ArtifactStore()
     df, (_, i_fac) = synthetic_interactions(
-        args.users, args.items, args.interactions, seed=args.seed, return_factors=True
+        args.users, args.items, args.interactions, seed=args.seed, return_factors=True,
+        n_clusters=args.clusters, candidate_pool=args.candidate_pool,
+        affinity_strength=args.affinity, cluster_pool_bias=args.cluster_pool_bias,
+        user_cluster_sigma=args.user_cluster_sigma,
+        item_cluster_sigma=args.item_cluster_sigma,
     )
     items = synthetic_catalog(df, n_extra_items=args.extra_items, seed=args.seed, item_factors=i_fac)
     store.save_parquet(df, f"{args.out}/interactions.parquet")
@@ -521,6 +525,13 @@ def main(argv=None):
     p.add_argument("--interactions", type=int, default=50_000)
     p.add_argument("--extra-items", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
+    # category-structured latents (the learnable-signal regime, tools/anchor.py)
+    p.add_argument("--clusters", type=int, default=0)
+    p.add_argument("--candidate-pool", type=int, default=16)
+    p.add_argument("--affinity", type=float, default=3.0)
+    p.add_argument("--cluster-pool-bias", type=float, default=0.0)
+    p.add_argument("--user-cluster-sigma", type=float, default=0.6)
+    p.add_argument("--item-cluster-sigma", type=float, default=0.35)
     p.set_defaults(fn=_cmd_synth)
 
     p = sub.add_parser("stage", help="stage SNAP loose-JSON dumps into parquet")

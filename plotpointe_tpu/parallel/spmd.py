@@ -279,9 +279,12 @@ def make_sharded_gat_step_fused(
     param_specs = {"user_emb": P(axis), "item_proj": P(), "layers": P()}
     # pre-place the stacked layout on the mesh ONCE; the jitted step takes the
     # leaves as ARGUMENTS (closure constants exceed remote-compile payload
-    # limits at Amazon scale — see the same pattern in models/fusion.py)
-    lay_sharding = jax.sharding.NamedSharding(mesh, P(axis))
-    leaves_dev = tuple(jax.device_put(jnp.asarray(a), lay_sharding) for a in _layout_leaves(stacked))
+    # limits at Amazon scale — see the same pattern in models/fusion.py).
+    # put_sharded routes through make_array_from_process_local_data when the
+    # mesh spans hosts (parallel/multihost.py) and device_put otherwise.
+    from plotpointe_tpu.parallel.multihost import put_sharded
+
+    leaves_dev = tuple(put_sharded(np.asarray(a), mesh, P(axis)) for a in _layout_leaves(stacked))
     graph_n_edges = 0  # attention_v3 reads only layout/n_nodes; n_edges is metadata
 
     @jax.jit
@@ -611,17 +614,19 @@ def make_sharded_spmm(
     stacked = shard_layout_by_tiles(graph, n_shards, nb=nb, eb=eb)
     w2_s, w2t_s, tsrc_s = shard_spmm_weights(stacked, values, n_e, n)
 
-    sh = jax.sharding.NamedSharding(mesh, P(axis))
-    src_s = jax.device_put(jnp.asarray(stacked.src), sh)
-    dst2_s = jax.device_put(jnp.asarray(np.asarray(stacked.dst).reshape(n_shards, -1, 128)), sh)
-    tile_of_s = jax.device_put(jnp.asarray(stacked.tile_of), sh)
-    is_last_s = jax.device_put(jnp.asarray(stacked.is_last), sh)
-    tdst2_s = jax.device_put(jnp.asarray(np.asarray(stacked.t_dst).reshape(n_shards, -1, 128)), sh)
-    t_tile_of_s = jax.device_put(jnp.asarray(stacked.t_tile_of), sh)
-    t_is_last_s = jax.device_put(jnp.asarray(stacked.t_is_last), sh)
-    w2_d = jax.device_put(jnp.asarray(w2_s), sh)
-    w2t_d = jax.device_put(jnp.asarray(w2t_s), sh)
-    tsrc_d = jax.device_put(jnp.asarray(tsrc_s), sh)
+    from plotpointe_tpu.parallel.multihost import put_sharded
+
+    _ps = lambda a: put_sharded(np.asarray(a), mesh, P(axis))  # noqa: E731 - multiprocess-safe
+    src_s = _ps(stacked.src)
+    dst2_s = _ps(np.asarray(stacked.dst).reshape(n_shards, -1, 128))
+    tile_of_s = _ps(stacked.tile_of)
+    is_last_s = _ps(stacked.is_last)
+    tdst2_s = _ps(np.asarray(stacked.t_dst).reshape(n_shards, -1, 128))
+    t_tile_of_s = _ps(stacked.t_tile_of)
+    t_is_last_s = _ps(stacked.t_is_last)
+    w2_d = _ps(w2_s)
+    w2t_d = _ps(w2t_s)
+    tsrc_d = _ps(tsrc_s)
     n_tiles = stacked.n_tiles
     n_chunks = stacked.src.shape[1] // eb
     n_chunks_t = stacked.t_dst.shape[1] // eb

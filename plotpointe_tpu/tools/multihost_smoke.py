@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--devices-per-process", type=int, default=4)
     ap.add_argument("--fit", action="store_true", help="run a full ShardedTrainer.fit()")
+    ap.add_argument("--family", choices=["gat", "lightgcn"], default="gat")
     args = ap.parse_args()
 
     # force the CPU backend with N virtual devices BEFORE jax backend init
@@ -57,7 +58,7 @@ def main() -> None:
     splits = build_splits(inter, u2i, i2i)
 
     if args.fit:
-        out = _run_fit(mesh, splits)
+        out = _run_fit(mesh, splits, family=args.family)
     else:
         out = _run_one_step(mesh, splits, n_total)
     out.update({"process_id": jax.process_index(),
@@ -117,22 +118,31 @@ def _run_one_step(mesh, splits, n_shards):
                 jax.numpy.asarray(grads["user_emb"].addressable_data(0)))), 6)}
 
 
-def _run_fit(mesh, splits):
+def _run_fit(mesh, splits, family="gat"):
     import numpy as np
 
     from plotpointe_tpu.config import TrainConfig
     from plotpointe_tpu.graphs.csr import build_bipartite_graph
-    from plotpointe_tpu.models.gat import GATModel
     from plotpointe_tpu.train.sharded import ShardedTrainer
 
     n_users, n_items = splits.n_users, splits.n_items
     rng = np.random.default_rng(0)
     graph = build_bipartite_graph(splits.train_u, splits.train_i, n_users, n_items)
     feats = rng.normal(size=(n_items, 16)).astype(np.float32)
-    model = GATModel(n_users=n_users, n_items=n_items, feat_dim=16,
-                     hidden_dim=16, n_layers=2, attn_impl="xla")
-    cfg = TrainConfig(epochs=2, samples_per_epoch=512, eval_neg_k=32,
-                      hidden_dim=16, layers=2)
+    if family == "lightgcn":
+        from plotpointe_tpu.models.lightgcn import LightGCNModel
+
+        model = LightGCNModel(n_users=n_users, n_items=n_items, embed_dim=16,
+                              n_prop_layers=2, spmm_impl="xla")
+        cfg = TrainConfig(model_family="lightgcn", epochs=2, batch_size=512,
+                          eval_neg_k=32, hidden_dim=16)
+    else:
+        from plotpointe_tpu.models.gat import GATModel
+
+        model = GATModel(n_users=n_users, n_items=n_items, feat_dim=16,
+                         hidden_dim=16, n_layers=2, attn_impl="xla")
+        cfg = TrainConfig(epochs=2, samples_per_epoch=512, eval_neg_k=32,
+                          hidden_dim=16, layers=2)
     with tempfile.TemporaryDirectory() as td:
         trainer = ShardedTrainer(model, cfg, graph, splits, item_feats=feats, mesh=mesh)
         res = trainer.fit(checkpoint_path=os.path.join(td, "best.npz"))

@@ -137,9 +137,12 @@ class ShardedTrainer(Trainer):
         self._eval_norm = None
 
         if self._family == "lightgcn":
-            self._eval_norm = jax.device_put(self.norm_values, rep)
+            self._eval_norm = _rep_put(self.norm_values)
             vals_np = np.asarray(self.norm_values)
-            self.norm_values = jax.device_put(self.norm_values, espec)
+            if self._mp:
+                self.norm_values = put_sharded(vals_np, self.mesh, P(axis))
+            else:
+                self.norm_values = jax.device_put(self.norm_values, espec)
             from plotpointe_tpu.ops.segment import resolve_attn_impl
 
             spmm_impl = getattr(model, "spmm_impl", "xla")
@@ -160,8 +163,12 @@ class ShardedTrainer(Trainer):
                 self._sh_step = make_sharded_lightgcn_step(
                     model, cfg.loss, self.mesh, self.n_users, self.n_items, axis=axis
                 )
-            self._train_u_dev = jnp.asarray(self.splits.train_u)
-            self._train_i_dev = jnp.asarray(self.splits.train_i)
+            if self._mp:
+                self._train_u_dev = put_replicated(np.asarray(self.splits.train_u), self.mesh)
+                self._train_i_dev = put_replicated(np.asarray(self.splits.train_i), self.mesh)
+            else:
+                self._train_u_dev = jnp.asarray(self.splits.train_u)
+                self._train_i_dev = jnp.asarray(self.splits.train_i)
             pairs = cfg.batch_size * cfg.neg_per_pos
             if pairs % self.n_shards:
                 raise ValueError(

@@ -66,3 +66,12 @@ def test_two_process_full_fit():
     assert r0["loss"] == r1["loss"]
     assert r0["best_val_ndcg20"] == r1["best_val_ndcg20"] > 0.0
     assert r0["test_ndcg20"] == r1["test_ndcg20"] > 0.0
+
+
+@pytest.mark.multihost
+def test_two_process_lightgcn_fit():
+    """Second model family over DCN: row-sharded user+item tables, edge-
+    sharded propagation, per-process placement of norm weights/batches."""
+    r0, r1 = _launch(["--fit", "--family", "lightgcn"])
+    assert r0["loss"] == r1["loss"]
+    assert r0["test_ndcg20"] == r1["test_ndcg20"] > 0.0

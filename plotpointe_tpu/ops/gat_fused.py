@@ -64,17 +64,23 @@ def _fwd_kernel(nb: int, eb: int, d: int):
 
         dst = d_ref[:].reshape(1, eb)
         rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0) + t * nb
-        onehot = rows == dst  # [NB, EB]
+        # ONE [NB, EB] compare+select pass builds the f32 incidence; every
+        # per-destination broadcast/reduction below rides the MXU against it
+        # instead of paying its own [NB, EB] VPU masked-reduce pass (the
+        # kernel is VPU-bound — see docs/KERNELS.md tile-sweep note)
+        oh = jnp.where(rows == dst, 1.0, 0.0)  # [NB, EB]
 
-        gd = jnp.sum(jnp.where(onehot, gd_tile[:, None], 0.0), axis=0)  # [EB]
+        # gd[e] = gd_tile[dst_e]: [1, NB] @ [NB, EB] MXU contraction
+        gd = jnp.dot(gd_tile[None, :], oh, preferred_element_type=jnp.float32)[0]
         x = gs + gd
         lx = jnp.where(x > 0, x, 0.2 * x)
         e = jnp.clip(lx, -10.0, 10.0)
         num = jnp.exp(e)
         num_m = num * m_ref[:].reshape(eb)
 
-        dacc[0, :] += jnp.sum(jnp.where(onehot, num[None, :], 0.0), axis=1)
-        w = jnp.where(onehot, num_m[None, :], 0.0)
+        # den[r] += sum_e oh[r,e]*num[e]: [NB, EB] @ [EB, 1] MXU contraction
+        dacc[0, :] += jnp.dot(oh, num[:, None], preferred_element_type=jnp.float32)[:, 0]
+        w = oh * num_m[None, :]
         acc[:] += jnp.dot(w, hs, preferred_element_type=jnp.float32)
 
         @pl.when(is_last[i] == 1)

@@ -737,6 +737,18 @@ def main(argv=None):
                         "(auto_continue_pipeline.sh semantics)")
     p.set_defaults(fn=_cmd_pipeline)
 
+    p = sub.add_parser("provision", add_help=False,
+                       help="declarative infra plan/apply/destroy (deploy/infra.yaml)")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=lambda a: __import__(
+        "plotpointe_tpu.tools.provision", fromlist=["main"]).main(a.rest))
+
+    p = sub.add_parser("jobs", add_help=False,
+                       help="per-stage job specs: list/run (deploy/jobs/*.yaml)")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=lambda a: __import__(
+        "plotpointe_tpu.tools.jobs", fromlist=["main"]).main(a.rest))
+
     args = ap.parse_args(argv)
     args.fn(args)
 

@@ -547,6 +547,14 @@ def _sec_serving(P) -> dict:
         dt = _timed_inner(body_64, items_bf, q64, n_iter=16, n_rep=2)
         out["serve_topk_pallas_bf16_b64_ms"] = round(dt * 1000, 3)
         out["serve_topk_pallas_bf16_b64_qps"] = round(big / dt)
+
+        def body_64f(c, i_, it, qq):
+            _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), 20, mode="fast")
+            return c + v[0, 0] * 1e-9
+
+        dtf = _timed_inner(body_64f, items_bf, q64, n_iter=16, n_rep=2)
+        out["serve_topk_pallas_bf16_b64_fast_ms"] = round(dtf * 1000, 3)
+        out["serve_topk_pallas_bf16_b64_fast_qps"] = round(big / dtf)
     except Exception as e:  # noqa: BLE001
         out["serve_topk_pallas_bf16_b64_error"] = _err(e)
 

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 K_PAD = 128  # running top-K lane width (>= any practical serving K)
 NEG_INF = -1e30
-POS_BITS = 12  # low key bits carrying the candidate position (block + run slots <= 4096)
+POS_BITS = 13  # low key bits carrying the candidate position (block + run slots <= 8192)
 POS_MASK = (1 << POS_BITS) - 1
 VAL_MASK = ~POS_MASK
 INT_MIN = -(2**31)
@@ -149,15 +149,68 @@ def _topk_kernel(nbi: int, b: int, n_rounds: int, n_items: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_items"))
-def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int, block_items: int = 3968):
+def _topk_kernel_fast(nbi: int, b: int, n_rounds: int, n_slots: int):
+    """Strided slot pre-reduction (the knn fast-mode scheme): packed keys are
+    max-reduced across NBI/n_slots lane groups — winner keys keep their
+    in-block positions, so indices still decode — and the selection rounds
+    run on the [B, n_slots] survivors, cutting round cost by NBI/n_slots
+    (~31x at the 3968 block). A block candidate is lost only when >=2 of a
+    row's running top-n_rounds land in the SAME block in the SAME lane
+    residue class (mod n_slots): expected losses per row
+    ~ C(n_rounds,2) / (n_blocks * n_slots) — ≈0.05 at 498k/7936/128, i.e.
+    ~99.8% recall@20 — selection-grade approximation; the wrapper's exact
+    re-score repairs rank, not recall.
+    Padding arrives as an additive validity row (1 VPU pass)."""
+
+    def kernel(items_ref, q_ref, vm_ref, out_k_ref, out_i_ref, run_k, run_i):
+        c = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+
+        @pl.when(c == 0)
+        def _():
+            run_k[:] = jnp.full((b, K_PAD), INT_MIN, jnp.int32)
+            run_i[:] = jnp.zeros((b, K_PAD), jnp.int32)
+
+        scores = jnp.dot(q_ref[:], items_ref[:].T, preferred_element_type=jnp.float32)
+        scores = scores + vm_ref[0:1, :]  # padding columns -> NEG_INF
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, nbi), 1)
+        keys = pack_keys(scores, lane)
+        red = keys[:, :n_slots]
+        for g in range(1, nbi // n_slots):
+            red = jnp.maximum(red, keys[:, g * n_slots : (g + 1) * n_slots])
+
+        nk, ni = merge_topk_keys(run_k[:], run_i[:], red, c * nbi, n_rounds, nbi)
+        run_k[:] = nk
+        run_i[:] = ni
+
+        @pl.when(c == n_blocks - 1)
+        def _():
+            out_k_ref[:] = run_k[:]
+            out_i_ref[:] = run_i[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_items", "mode"))
+def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int,
+                     block_items: int = 0, mode: str = "exact"):
     """Top-k inner-product search. item_vecs: [N, D]; queries: [B, D] (cast
     both to bfloat16 for 2x stream bandwidth when serving tolerates it).
     Returns (indices [B, k] int32, scores [B, k] f32) sorted descending;
     scores are exact f32 re-scores of the selected items. Rows with fewer
-    than k real candidates get idx -1 / score -1e30 in the tail lanes."""
+    than k real candidates get idx -1 / score -1e30 in the tail lanes.
+
+    mode="exact" (default, reference-parity): every block candidate enters
+    the selection rounds. mode="fast": strided slot pre-reduction
+    (_topk_kernel_fast) — expected losses/query ~ C(k+8,2)/(n_blocks*128)
+    (≈99.8% recall@20 at the 498k catalog), for latency-critical serving."""
     n, d = item_vecs.shape
     b = queries.shape[0]
+    if block_items == 0:
+        # fast mode pays per-block fixed cost only ~2 selection passes, so
+        # bigger blocks win (measured: 7936 -> 27.2k QPS at batch 64 vs 24.3k
+        # at 3968); exact mode's rounds scale with block width, keep 3968
+        block_items = 7936 if mode == "fast" else 3968
     n_rounds = min(k + SEL_MARGIN, K_PAD)
     assert block_items + K_PAD <= POS_MASK + 1
     n_pad = ((n + block_items - 1) // block_items) * block_items
@@ -169,13 +222,8 @@ def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int, block_ite
         item_vecs_p = item_vecs
     n_blocks = n_pad // block_items
 
-    out_k, out_i = pl.pallas_call(
-        _topk_kernel(block_items, b, n_rounds, n),
+    common = dict(
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((block_items, d), lambda c: (c, 0)),
-            pl.BlockSpec((b, d), lambda c: (0, 0)),
-        ],
         out_specs=[
             pl.BlockSpec((b, K_PAD), lambda c: (0, 0)),
             pl.BlockSpec((b, K_PAD), lambda c: (0, 0)),
@@ -195,7 +243,28 @@ def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int, block_ite
             bytes_accessed=n_pad * d * item_vecs.dtype.itemsize,
             transcendentals=0,
         ),
-    )(item_vecs_p, queries)
+    )
+    if mode == "fast":
+        vm = jnp.where(jnp.arange(n_pad) < n, 0.0, NEG_INF).astype(jnp.float32)
+        vm2 = jnp.broadcast_to(vm[None, :], (8, n_pad))  # min sublanes
+        out_k, out_i = pl.pallas_call(
+            _topk_kernel_fast(block_items, b, n_rounds, n_slots=K_PAD),
+            in_specs=[
+                pl.BlockSpec((block_items, d), lambda c: (c, 0)),
+                pl.BlockSpec((b, d), lambda c: (0, 0)),
+                pl.BlockSpec((8, block_items), lambda c: (0, c)),
+            ],
+            **common,
+        )(item_vecs_p, queries, vm2)
+    else:
+        out_k, out_i = pl.pallas_call(
+            _topk_kernel(block_items, b, n_rounds, n),
+            in_specs=[
+                pl.BlockSpec((block_items, d), lambda c: (c, 0)),
+                pl.BlockSpec((b, d), lambda c: (0, 0)),
+            ],
+            **common,
+        )(item_vecs_p, queries)
 
     # exact re-score of the k + margin selected candidates, then exact top-k
     cand_i = out_i[:, :n_rounds]  # [B, R]

@@ -29,6 +29,8 @@ class ServingConfig:
     project_id: Optional[str] = None
     use_device: bool = True  # False -> pure numpy (tiny deployments, no JAX device)
     use_pallas_topk: bool = False  # fused streaming top-k for very large catalogs
+    topk_mode: str = "exact"  # "fast" = strided slot pre-reduction (~1.4x faster
+    # stream, recall ~1 - (k+8)^2/(2N) per query; exact f32 re-score either way)
     table_dtype: str = "float32"  # "bfloat16" halves catalog HBM + stream traffic
     # (scores stay f32 via preferred_element_type; ranks can differ by bf16
     # rounding ~4e-3 relative on near-ties)
@@ -104,7 +106,8 @@ class RecommenderRuntime:
             q = jnp.asarray((hvecs.mean(axis=0))[None, :])
             # retrieve K + |history| then drop history (kernel is history-agnostic)
             kk = min(K + len(ids), self.item_vecs.shape[0])
-            idx, scores = topk_mips_pallas(self._item_vecs_dev, q, kk)
+            idx, scores = topk_mips_pallas(self._item_vecs_dev, q, kk,
+                                           mode=self.cfg.topk_mode)
             idx, scores = np.asarray(idx[0]), np.asarray(scores[0])
             keep = ~np.isin(idx, ids)
             return idx[keep][:K], scores[keep][:K]
@@ -148,7 +151,8 @@ class RecommenderRuntime:
         if self.cfg.use_pallas_topk:
             from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas
 
-            idx, scores = topk_mips_pallas(self._item_vecs_dev, qd, kk)
+            idx, scores = topk_mips_pallas(self._item_vecs_dev, qd, kk,
+                                           mode=self.cfg.topk_mode)
         else:
             idx, scores = _topk_scores_batch(self._item_vecs_dev, qd, kk)
         idx_np, sc_np = np.asarray(idx[:b]), np.asarray(scores[:b])

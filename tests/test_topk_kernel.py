@@ -39,3 +39,23 @@ def test_topk_padding_not_selected(rng):
     q = rng.normal(size=(2, 16)).astype(np.float32)
     gi, gv = topk_mips_pallas(jnp.asarray(items), jnp.asarray(q), 10, block_items=512)
     assert (np.asarray(gi) < 700).all()
+
+
+def test_fast_mode_matches_exact_at_serving_shapes(rng):
+    """mode='fast' (strided slot pre-reduction, round 4): full recall vs the
+    XLA golden at realistic odds (loss P ~ (k+8)^2/(2N) per query)."""
+    import jax.numpy as jnp
+
+    from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas, topk_mips_xla
+
+    # expected losses/row ~ C(28,2)/(n_blocks*128): ~0.2 at 120k/7936
+    items = jnp.asarray(rng.normal(size=(120_000, 64)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    ix, vx = topk_mips_xla(items, q, 20)
+    ip, vp = topk_mips_pallas(items, q, 20, mode="fast")
+    hit = np.mean([
+        len(set(np.asarray(ip[r]).tolist()) & set(np.asarray(ix[r]).tolist())) / 20
+        for r in range(16)
+    ])
+    assert hit >= 0.98, hit
+    np.testing.assert_allclose(np.asarray(vp[:, 0]), np.asarray(vx[:, 0]), rtol=1e-5)

@@ -235,6 +235,16 @@ def _sec_knn(P) -> dict:
             out["vs_baseline"] = round(100.40 / dt, 2)  # PHASE0_REPORT.md:180-183
             out["knn_device_only_s"] = round(dev_dt, 4)
             out["knn_impl"] = impl
+            if impl == "pallas":
+                try:  # approximate build (bf16 scoring + slot pre-reduction)
+                    def knn_body_fast(c, i, x):
+                        _, sim = knn_topk_pallas(x + c * 0, k, mode="fast")
+                        return c + sim[0, 0] * 1e-9
+
+                    out["knn_device_fast_s"] = round(
+                        _timed_inner(knn_body_fast, xd, n_iter=4, n_rep=2), 4)
+                except Exception as e:  # noqa: BLE001
+                    out["knn_fast_error"] = _err(e)
             # dominant op: [n_pad, d] x [d, n_pad] similarity matmul at
             # f32-faithful MXU precision
             _roof("knn", dev_dt, flops=2.0 * n_pad * n_pad * d,

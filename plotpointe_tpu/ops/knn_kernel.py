@@ -122,7 +122,7 @@ def _knn_kernel_fast(br: int, bc: int, n_rounds: int, n_slots: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows", "block_cols", "mode"))
 def knn_topk_pallas(
-    xn: jax.Array, k: int, block_rows: int = 256, block_cols: int = 2048,
+    xn: jax.Array, k: int, block_rows: int = 256, block_cols: int = 0,
     mode: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k cosine neighbours. xn: [N, d] L2-normalized rows.
@@ -139,6 +139,12 @@ def knn_topk_pallas(
     with per-edge recall vs exact typically >= 0.998 (measured; see bench) —
     the ScaNN-style operating point for approximate graph builds."""
     n, d = xn.shape
+    if block_cols == 0:
+        # fast mode's round cost is slot-width-bound, not block-width-bound,
+        # so wider column blocks amortize per-block overhead (95 -> 71 ms at
+        # 63k x 384 with the round-4 13-bit position space); exact mode's
+        # rounds scale with block width, keep 2048
+        block_cols = 4096 if mode == "fast" else 2048
     extra = 1 if mode == "fast" else 0  # self wins a slot in fast mode
     n_rounds = min(k + SEL_MARGIN + extra, K_PAD)
     assert block_cols + K_PAD <= POS_MASK + 1

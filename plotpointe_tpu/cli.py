@@ -307,7 +307,12 @@ def _cmd_anchor(args):
         argv.append("--skip-baselines")
     if args.skip_reference:
         argv.append("--skip-reference")
-    argv += ["--optimizer", args.optimizer, "--warmup-steps", str(args.warmup_steps)]
+    argv += ["--optimizer", args.optimizer, "--warmup-steps", str(args.warmup_steps),
+             "--clusters", str(args.clusters), "--candidate-pool", str(args.candidate_pool),
+             "--feature-noise", str(args.feature_noise),
+             "--cluster-pool-bias", str(args.cluster_pool_bias),
+             "--user-cluster-sigma", str(args.user_cluster_sigma),
+             "--item-cluster-sigma", str(args.item_cluster_sigma)]
     if args.gate_baseline:
         argv += ["--gate-baseline", args.gate_baseline]
     anchor_main(argv)
@@ -698,8 +703,9 @@ def main(argv=None):
 
     p = sub.add_parser("anchor", help="quality-anchor run: reference GAT protocol on "
                                       "full-shape Amazon-calibrated synthetic data + controlled baselines")
+    # defaults mirror tools/anchor.py: the round-4 calibrated learnable regime
     p.add_argument("--scale", choices=["full", "mini", "micro"], default="full")
-    p.add_argument("--affinity", type=float, default=3.0)
+    p.add_argument("--affinity", type=float, default=14.0)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--steps-per-epoch", type=int, default=1)
     p.add_argument("--beyond-steps", type=int, default=32)
@@ -711,6 +717,12 @@ def main(argv=None):
     p.add_argument("--skip-reference", action="store_true")
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--clusters", type=int, default=64)
+    p.add_argument("--candidate-pool", type=int, default=64)
+    p.add_argument("--feature-noise", type=float, default=0.02)
+    p.add_argument("--cluster-pool-bias", type=float, default=0.6)
+    p.add_argument("--user-cluster-sigma", type=float, default=0.35)
+    p.add_argument("--item-cluster-sigma", type=float, default=0.35)
     p.set_defaults(fn=_cmd_anchor)
 
     p = sub.add_parser("pipeline", help="run the full synth->train pipeline in one command")

@@ -251,16 +251,22 @@ def main(argv=None):
     )
     if args.gate_baseline:
         spec = json.loads(Path(args.gate_baseline).read_text())
-        fails = []
+        fails, skipped = [], []
         for path, lo in spec.get("min", {}).items():
             sect, metric = path.split(".")
+            if sect not in results:
+                # that leg wasn't run this invocation (--skip-beyond /
+                # --skip-baselines / --skip-reference) — gate only what ran
+                skipped.append(path)
+                continue
             got = results.get(sect, {}).get(metric)
             if got is None or got < lo:
                 fails.append(f"{path}: {got} < {lo}")
         if fails:
-            print(json.dumps({"anchor_gate": "FAIL", "violations": fails}))
+            print(json.dumps({"anchor_gate": "FAIL", "violations": fails,
+                              "skipped": skipped}))
             raise SystemExit(3)
-        print(json.dumps({"anchor_gate": "PASS"}))
+        print(json.dumps({"anchor_gate": "PASS", "skipped": skipped}))
 
 
 if __name__ == "__main__":

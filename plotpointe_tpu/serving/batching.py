@@ -131,7 +131,8 @@ class MicroBatcher:
             self.stats.max_batch = max(self.stats.max_batch, len(batch))
         try:
             results = self.runtime.top_k_for_batch(
-                [s.item_ids for s in batch], [s.k for s in batch]
+                [s.item_ids for s in batch], [s.k for s in batch],
+                max_batch=self.max_batch,
             )
             for s, (idx, sc) in zip(batch, results):
                 s.result = (idx, sc)

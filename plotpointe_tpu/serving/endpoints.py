@@ -101,6 +101,15 @@ class ServingState:
             if self.telemetry is not None:  # dead-letter (DLQ-topic analog)
                 self.telemetry.log_reject("recommend", payload, f"bad item_ids: {e}")
             return 400, {"detail": f"bad item_ids: {e}"}
+        except TimeoutError as e:
+            # batcher dispatch timed out (device wedged / overloaded): the
+            # client should retry, and the handler must answer JSON, not die
+            return 503, {"detail": f"scoring timed out: {e}"}
+        except Exception as e:  # noqa: BLE001 - JSON 500 beats a dead socket
+            if self.telemetry is not None:
+                self.telemetry.log_reject("recommend", payload,
+                                          f"{type(e).__name__}: {e}"[:200])
+            return 500, {"detail": f"internal error: {type(e).__name__}: {e}"}
         body: Dict[str, Any] = {
             "indices": idx.tolist(),
             "scores": [float(x) for x in scores.tolist()],

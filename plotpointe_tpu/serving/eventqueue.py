@@ -72,13 +72,22 @@ class DurableQueue:
     def _recover(self) -> None:
         """Rebuild offset counter, ack set, and attempt counts from disk.
         Tolerates a torn final line in any log (crash mid-write): the partial
-        line is ignored — for segments that record was never 'published'."""
+        line is ignored — for segments that record was never 'published'.
+
+        The offset high-water mark is the max over SEGMENTS **and** the
+        ack/attempt logs: after compact() deletes fully-acked segments, the
+        surviving segments alone under-count, and a restart would reissue
+        already-acked offsets — new publishes would then be treated as acked
+        and silently never delivered (at-least-once violation)."""
+        hi = -1
         ack_path = self.root / "acks.jsonl"
         if ack_path.exists():
             for line in ack_path.read_text().splitlines():
                 try:
                     rec = json.loads(line)
-                    self._acked.add(int(rec["o"]))
+                    off = int(rec["o"])
+                    self._acked.add(off)
+                    hi = max(hi, off)
                 except (json.JSONDecodeError, KeyError, ValueError):
                     continue  # torn tail
         att_path = self.root / "attempts.jsonl"
@@ -86,10 +95,11 @@ class DurableQueue:
             for line in att_path.read_text().splitlines():
                 try:
                     rec = json.loads(line)
-                    self._attempts[int(rec["o"])] = int(rec["n"])
+                    off = int(rec["o"])
+                    self._attempts[off] = int(rec["n"])
+                    hi = max(hi, off)
                 except (json.JSONDecodeError, KeyError, ValueError):
                     continue
-        hi = -1
         for seg in self._segments():
             for off, _ in self._iter_segment(seg):
                 hi = max(hi, off)

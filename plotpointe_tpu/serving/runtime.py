@@ -128,12 +128,17 @@ class RecommenderRuntime:
             raise IndexError(f"index {int(bad)} is out of bounds for axis 0 with size {n}")
 
     def top_k_for_batch(
-        self, histories: List[np.ndarray], ks: List[int]
+        self, histories: List[np.ndarray], ks: List[int],
+        max_batch: int = 64,
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Score many users' histories in ONE batched device call (the
         micro-batching path — serving/batching.py). Per-query semantics match
         top_k_for_user_items' Pallas branch: user vector = f32 mean of history
-        rows, retrieve k+|history| then drop history items."""
+        rows, retrieve k+|history| then drop history items.
+
+        max_batch: the batcher's configured coalescing cap — threaded in so
+        batch-size buckets top out at the real cap (a hardcoded 64 would jit
+        a fresh program per ragged size above it)."""
         from plotpointe_tpu.serving.batching import bucket_size
 
         self._ensure_started()
@@ -141,10 +146,14 @@ class RecommenderRuntime:
             return [self._topk_numpy(np.asarray(h, np.int32), int(k))
                     for h, k in zip(histories, ks)]
         n = self.item_vecs.shape[0]
-        kk = min(int(max(ks)) + max(len(h) for h in histories), n)
+        # bucket kk to a multiple of 32 (like the batch dim) — kk is a static
+        # jit arg, so every distinct max-history-length in a coalesced batch
+        # would otherwise recompile the hot path
+        kk_raw = int(max(ks)) + max(len(h) for h in histories)
+        kk = min(-(-kk_raw // 32) * 32, n)
         q = np.stack([self.item_vecs[np.asarray(h, np.int32)].mean(axis=0) for h in histories])
         b = len(histories)
-        bp = bucket_size(b, 64)
+        bp = bucket_size(b, max_batch)
         if bp > b:  # pad to a power-of-two bucket so jit caches few shapes
             q = np.concatenate([q, np.repeat(q[-1:], bp - b, axis=0)], axis=0)
         qd = jnp.asarray(q, dtype=self._item_vecs_dev.dtype)

@@ -266,6 +266,13 @@ def main(argv=None):
             print(json.dumps({"anchor_gate": "FAIL", "violations": fails,
                               "skipped": skipped}))
             raise SystemExit(3)
+        if skipped and len(skipped) == len(spec.get("min", {})):
+            # every gated leg was skipped — a PASS here would be vacuous
+            # (e.g. --skip-baselines --skip-reference --skip-beyond)
+            print(json.dumps({"anchor_gate": "FAIL",
+                              "violations": ["all gated sections skipped"],
+                              "skipped": skipped}))
+            raise SystemExit(3)
         print(json.dumps({"anchor_gate": "PASS", "skipped": skipped}))
 
 

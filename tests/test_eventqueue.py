@@ -125,6 +125,45 @@ def test_segment_rotation_and_compaction(tmp_path):
     q.close()
 
 
+def test_restart_after_compact_does_not_reuse_acked_offsets(tmp_path):
+    # regression: with every segment compacted away, the offset counter must
+    # recover from the ack log — otherwise new publishes reuse acked offsets
+    # and are never delivered (silent at-least-once violation)
+    root = tmp_path / "q"
+    q = DurableQueue(root, segment_bytes=100)
+    for i in range(10):
+        q.publish({"i": i, "pad": "x" * 40})
+    batch = q.pull(100)
+    q.ack([o for o, _ in batch])
+    q.close()  # close BEFORE compact so even the active segment is removable
+    q = DurableQueue(root)
+    q.compact()
+    assert list(root.glob("segment-*.jsonl")) == []  # all segments gone
+    q.close()
+
+    q2 = DurableQueue(root)  # restart from acks.jsonl alone
+    off = q2.publish({"i": "fresh"})
+    assert off == 10  # NOT a reused acked offset
+    redelivered = q2.pull(100)
+    assert [d["i"] for _, d in redelivered] == ["fresh"]
+    assert q2.backlog() == 1
+    q2.close()
+
+
+def test_restart_after_compact_with_nacked_offsets(tmp_path):
+    # attempts.jsonl must also feed the high-water mark: a record can be
+    # nacked to the DLQ (acked) and compacted with no surviving ack... the
+    # attempts log still knows its offset
+    root = tmp_path / "q"
+    q = DurableQueue(root, max_attempts=1, lease_s=0.0)
+    off = q.publish({"i": 0})
+    assert q.nack(off, {"i": 0}, "fail") is True  # straight to DLQ + ack
+    q.close()
+    q2 = DurableQueue(root)
+    assert q2.publish({"i": 1}) == off + 1
+    q2.close()
+
+
 def test_telemetry_durable_sink_and_drift(tmp_path):
     tel = ServingTelemetry(root=str(tmp_path / "tel"), durable=True)
     rid = tel.log_request([1, 2, 3], [0.9, 0.8, 0.7], latency_ms=4.2)

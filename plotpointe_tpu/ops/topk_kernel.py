@@ -1,22 +1,38 @@
 """Pallas TPU kernel: fused MIPS top-K retrieval over a large item catalog.
 
 Serving hot path (`serving/runtime.py:56-76` in the reference: full [N, d] @
-[d] GEMV + argpartition on CPU). The kernel streams the item matrix through
-VMEM in blocks, computes block scores on the MXU, and maintains a running
-top-K (packed sortable keys + indices) in VMEM scratch across the sequential
-TPU grid — the [N] score vector never materializes in HBM and the item matrix
-is read exactly once at HBM bandwidth.
+[d] GEMV + argpartition on CPU). Two-level exact scheme, built so the stream
+loop contains NOTHING but an MXU matmul and one lane-tree max:
 
-Selection: packed sortable-int keys. A float32 score is bit-twiddled into a
-monotone int32 (sign-flip transform), its low POS_BITS bits replaced by the
-candidate's lane position. Keys are then UNIQUE per row, so one selection
-round is just (lane-max, compare-equal mask) — 2 VPU passes — instead of the
-5-pass (max, argmax, one-hot index select, mask) scheme: the winner's
-position decodes arithmetically from the key itself. Truncating POS_BITS
-value bits can only reorder candidates closer than 2^-(23-POS_BITS) relative,
-so the kernel selects k + SEL_MARGIN candidates and the caller re-scores them
-exactly and takes the exact top-k (a true top-k item would have to be
-shadowed by >SEL_MARGIN same-bucket candidates to be lost).
+  phase 1 (Pallas): stream the item matrix through VMEM in blocks; per block
+      compute scores on the MXU and reduce them to per-CHUNK maxima (CHUNK
+      consecutive items), writing the tiny [B, N/CHUNK] chunk-max matrix.
+      The [N] score vector never materializes in HBM and the catalog is read
+      exactly once at HBM bandwidth. No selection state crosses blocks, so
+      the grid is fully parallel and Mosaic double-buffers the stream.
+  phase 2 (XLA): take the top (k + margin) chunks per query by chunk max,
+      gather just those chunks' rows (k+margin contiguous CHUNK-row slabs),
+      re-score them exactly in f32, and take the exact top-k.
+
+Exactness: let t be the k-th largest true score of a query. Every chunk
+containing a true top-k item has chunk-max >= t, and a chunk's max >= t
+implies it CONTAINS an item scoring >= t — i.e. a top-k item (ties aside).
+So at most k chunks can rank above any chunk holding a top-k item, and the
+top-(k+margin) chunks by max are a superset of the true top-k's chunks.
+The margin only absorbs score ties and the ~1-ulp accumulation-order
+differences between the phase-1 MXU max and the phase-2 re-score.
+
+This replaces the round-3/4 design (packed sortable-int keys + per-block
+selection rounds): the rounds' many small VPU ops made the kernel run at
+~15% of HBM bandwidth (BENCH_r04 mfu_topk_bf16_sol_dev 0.144). Phase 2 costs
+one extra (k+margin)*CHUNK-row fetch per query — ~57 MB at the 498k x 128
+bf16 batch-64 serving shape vs the 128 MB stream — done by a second Pallas
+kernel whose per-chunk DMAs ride scalar-prefetched dynamic index maps
+(XLA's row gather of the same slabs measured ~25x slower).
+
+The packed-key helpers (pack_keys / merge_topk_keys / merge_topk_packed) are
+kept here for the kNN kernel (ops/knn_kernel.py), whose all-pairs blocked
+sweep still uses the running-top-K scheme.
 """
 from __future__ import annotations
 
@@ -35,6 +51,9 @@ POS_MASK = (1 << POS_BITS) - 1
 VAL_MASK = ~POS_MASK
 INT_MIN = -(2**31)
 SEL_MARGIN = 8  # extra selection rounds guarding against truncated-key ties
+CHUNK = 128  # phase-2 gather granularity; multiple of the 128-lane tile
+# (Mosaic supports the [B, G*128] -> [B, G, 128] minor-preserving reshape)
+CHUNK_MARGIN = 8  # extra chunks absorbing ties / accumulation-order jitter
 
 
 def pack_keys(scores: jax.Array, pos: jax.Array) -> jax.Array:
@@ -111,108 +130,121 @@ def merge_topk_packed(
     return merge_topk_keys(run_k, run_i, keys, col0, n_rounds, w)
 
 
-def _topk_kernel(nbi: int, b: int, n_rounds: int, n_items: int):
-    def kernel(items_ref, q_ref, out_k_ref, out_i_ref, run_k, run_i):
+def _chunkmax_kernel(nbi: int, b: int, n_items: int, chunk: int):
+    """Per-block: MXU scores [B, NBI] -> per-chunk maxima in a [B, 128] out
+    block (lanes g..127 padded NEG_INF when the block holds g < 128 chunks,
+    keeping the out BlockSpec on the 128-lane tile for any block size).
+
+    Padding rows exist only in the final block, so the NEG_INF column mask
+    (3 full-width VPU passes) is paid on that one block, not the stream."""
+    g = nbi // chunk
+    assert g <= 128
+
+    def cmax(scores):
+        m = jnp.max(scores.reshape(b, g, chunk), axis=2)  # [B, G]
+        if g < 128:
+            m = jnp.concatenate([m, jnp.full((b, 128 - g), NEG_INF, jnp.float32)], axis=1)
+        return m
+
+    def kernel(items_ref, q_ref, out_ref):
         c = pl.program_id(0)
         n_blocks = pl.num_programs(0)
-
-        @pl.when(c == 0)
-        def _():
-            run_k[:] = jnp.full((b, K_PAD), INT_MIN, jnp.int32)
-            run_i[:] = jnp.zeros((b, K_PAD), jnp.int32)
-
-        scores = jnp.dot(q_ref[:], items_ref[:].T, preferred_element_type=jnp.float32)  # [B, NBI]
-        # padding rows exist only in the final block — masking there alone
-        # saves 3 full-width VPU passes (iota/compare/select) on every other
-        # block of the stream (measured ~15% of kernel time at 498k x 128)
+        scores = jnp.dot(q_ref[:], items_ref[:].T, preferred_element_type=jnp.float32)
         if n_items % nbi != 0:
             @pl.when(c == n_blocks - 1)
             def _():
                 col = jax.lax.broadcasted_iota(jnp.int32, (b, nbi), 1) + c * nbi
-                run_k[:], run_i[:] = merge_topk_packed(
-                    run_k[:], run_i[:], jnp.where(col < n_items, scores, NEG_INF),
-                    c * nbi, n_rounds)
+                out_ref[:] = cmax(jnp.where(col < n_items, scores, NEG_INF))
 
             @pl.when(c < n_blocks - 1)
             def _():
-                run_k[:], run_i[:] = merge_topk_packed(run_k[:], run_i[:], scores, c * nbi, n_rounds)
+                out_ref[:] = cmax(scores)
         else:
-            nk, ni = merge_topk_packed(run_k[:], run_i[:], scores, c * nbi, n_rounds)
-            run_k[:] = nk
-            run_i[:] = ni
-
-        @pl.when(c == n_blocks - 1)
-        def _():
-            out_k_ref[:] = run_k[:]
-            out_i_ref[:] = run_i[:]
+            out_ref[:] = cmax(scores)
 
     return kernel
 
 
-def _topk_kernel_fast(nbi: int, b: int, n_rounds: int, n_slots: int):
-    """Strided slot pre-reduction (the knn fast-mode scheme): packed keys are
-    max-reduced across NBI/n_slots lane groups — winner keys keep their
-    in-block positions, so indices still decode — and the selection rounds
-    run on the [B, n_slots] survivors, cutting round cost by NBI/n_slots
-    (~31x at the 3968 block). A block candidate is lost only when >=2 of a
-    row's running top-n_rounds land in the SAME block in the SAME lane
-    residue class (mod n_slots): expected losses per row
-    ~ C(n_rounds,2) / (n_blocks * n_slots) — ≈0.05 at 498k/7936/128, i.e.
-    ~99.8% recall@20 — selection-grade approximation; the wrapper's exact
-    re-score repairs rank, not recall.
-    Padding arrives as an additive validity row (1 VPU pass)."""
+def _rescore_kernel(m: int, r_pad: int, chunk: int):
+    """Per grid step (i, j): score m selected chunks of query i. Each slot's
+    [chunk, d] item block arrives via its own dynamic index_map (Mosaic
+    pipelines the m DMAs across steps); the dot_general contracts both lane
+    dims (RHS-transposed form — no in-kernel transpose)."""
 
-    def kernel(items_ref, q_ref, vm_ref, out_k_ref, out_i_ref, run_k, run_i):
-        c = pl.program_id(0)
-        n_blocks = pl.num_programs(0)
-
-        @pl.when(c == 0)
-        def _():
-            run_k[:] = jnp.full((b, K_PAD), INT_MIN, jnp.int32)
-            run_i[:] = jnp.zeros((b, K_PAD), jnp.int32)
-
-        scores = jnp.dot(q_ref[:], items_ref[:].T, preferred_element_type=jnp.float32)
-        scores = scores + vm_ref[0:1, :]  # padding columns -> NEG_INF
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, nbi), 1)
-        keys = pack_keys(scores, lane)
-        red = keys[:, :n_slots]
-        for g in range(1, nbi // n_slots):
-            red = jnp.maximum(red, keys[:, g * n_slots : (g + 1) * n_slots])
-
-        nk, ni = merge_topk_keys(run_k[:], run_i[:], red, c * nbi, n_rounds, nbi)
-        run_k[:] = nk
-        run_i[:] = ni
-
-        @pl.when(c == n_blocks - 1)
-        def _():
-            out_k_ref[:] = run_k[:]
-            out_i_ref[:] = run_i[:]
+    def kernel(sel_ref, *refs):
+        del sel_ref  # consumed by the index maps
+        item_refs, q_ref, out_ref = refs[:m], refs[m], refs[m + 1]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # row i via one-hot contraction (dynamic sublane loads need 8-alignment)
+        b = q_ref.shape[0]
+        oh = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) == i, 1.0, 0.0)
+        q_row = jnp.dot(oh, q_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)  # [1, D]
+        for t in range(m):
+            sc = jax.lax.dot_general(
+                q_row, item_refs[t][:].astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [1, chunk]
+            out_ref[0, j * m + t, :] = sc[0]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_items", "mode"))
+@functools.partial(jax.jit, static_argnames=("r_pad", "m", "chunk"))
+def _rescore_call(items_p, queries, chunk_id_pad, r_pad, m, chunk):
+    """chunk_id_pad: [B, r_pad] int32 ids into items_p's chunk grid (clamped
+    in-range). Returns [B, r_pad, chunk] f32 exact scores."""
+    b, d = queries.shape
+    n_steps = r_pad // m
+    sel = chunk_id_pad.reshape(b * r_pad)
+
+    def mk_item_spec(t):
+        return pl.BlockSpec(
+            (chunk, d), lambda i, j, s, t=t: (s[i * r_pad + j * m + t], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_steps),
+        in_specs=[mk_item_spec(t) for t in range(m)]
+        + [pl.BlockSpec((b, d), lambda i, j, s: (0, 0))],
+        out_specs=pl.BlockSpec((1, r_pad, chunk), lambda i, j, s: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _rescore_kernel(m, r_pad, chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, r_pad, chunk), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r_pad * chunk * d,
+            bytes_accessed=b * r_pad * chunk * d * items_p.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(sel, *([items_p] * m), queries)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_items", "mode", "chunk"))
 def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int,
-                     block_items: int = 0, mode: str = "exact"):
+                     block_items: int = 0, mode: str = "exact", chunk: int = CHUNK):
     """Top-k inner-product search. item_vecs: [N, D]; queries: [B, D] (cast
     both to bfloat16 for 2x stream bandwidth when serving tolerates it).
     Returns (indices [B, k] int32, scores [B, k] f32) sorted descending;
     scores are exact f32 re-scores of the selected items. Rows with fewer
     than k real candidates get idx -1 / score -1e30 in the tail lanes.
 
-    mode="exact" (default, reference-parity): every block candidate enters
-    the selection rounds. mode="fast": strided slot pre-reduction
-    (_topk_kernel_fast) — expected losses/query ~ C(k+8,2)/(n_blocks*128)
-    (≈99.8% recall@20 at the 498k catalog), for latency-critical serving."""
+    mode="exact" (default): top-(k + 8) chunks re-scored — exact up to >8-way
+    chunk-max ties at the k-th score (see module docstring). mode="fast":
+    margin 2, shaving the phase-2 gather for latency-critical serving."""
     n, d = item_vecs.shape
     b = queries.shape[0]
     if block_items == 0:
-        # fast mode pays per-block fixed cost only ~2 selection passes, so
-        # bigger blocks win (measured: 7936 -> 27.2k QPS at batch 64 vs 24.3k
-        # at 3968); exact mode's rounds scale with block width, keep 3968
-        block_items = 7936 if mode == "fast" else 3968
-    n_rounds = min(k + SEL_MARGIN, K_PAD)
-    assert block_items + K_PAD <= POS_MASK + 1
+        # biggest block whose f32 score buffer + double-buffered item stream
+        # fit VMEM (~16 MB): scores b*block*4 + 2 * block*d*itemsize
+        block_items = 16384 if (b <= 64 and item_vecs.dtype.itemsize <= 2) else 8192
+    block_items = max(chunk, (block_items // chunk) * chunk)
+    g = block_items // chunk  # chunks per block (<= 128; out lanes pad to 128)
+    assert g <= 128, "block_items/chunk must fit one 128-lane out block"
     n_pad = ((n + block_items - 1) // block_items) * block_items
     if n_pad != n:
         item_vecs_p = jnp.concatenate(
@@ -222,61 +254,49 @@ def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int,
         item_vecs_p = item_vecs
     n_blocks = n_pad // block_items
 
-    common = dict(
+    cm = pl.pallas_call(
+        _chunkmax_kernel(block_items, b, n, chunk),
         grid=(n_blocks,),
-        out_specs=[
-            pl.BlockSpec((b, K_PAD), lambda c: (0, 0)),
-            pl.BlockSpec((b, K_PAD), lambda c: (0, 0)),
+        in_specs=[
+            pl.BlockSpec((block_items, d), lambda c: (c, 0)),
+            pl.BlockSpec((b, d), lambda c: (0, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, K_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((b, K_PAD), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b, K_PAD), jnp.int32),
-            pltpu.VMEM((b, K_PAD), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((b, 128), lambda c: (0, c)),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks * 128), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d * b,
             bytes_accessed=n_pad * d * item_vecs.dtype.itemsize,
             transcendentals=0,
         ),
-    )
-    if mode == "fast":
-        vm = jnp.where(jnp.arange(n_pad) < n, 0.0, NEG_INF).astype(jnp.float32)
-        vm2 = jnp.broadcast_to(vm[None, :], (8, n_pad))  # min sublanes
-        out_k, out_i = pl.pallas_call(
-            _topk_kernel_fast(block_items, b, n_rounds, n_slots=K_PAD),
-            in_specs=[
-                pl.BlockSpec((block_items, d), lambda c: (c, 0)),
-                pl.BlockSpec((b, d), lambda c: (0, 0)),
-                pl.BlockSpec((8, block_items), lambda c: (0, c)),
-            ],
-            **common,
-        )(item_vecs_p, queries, vm2)
-    else:
-        out_k, out_i = pl.pallas_call(
-            _topk_kernel(block_items, b, n_rounds, n),
-            in_specs=[
-                pl.BlockSpec((block_items, d), lambda c: (c, 0)),
-                pl.BlockSpec((b, d), lambda c: (0, 0)),
-            ],
-            **common,
-        )(item_vecs_p, queries)
+    )(item_vecs_p, queries)
 
-    # exact re-score of the k + margin selected candidates, then exact top-k
-    cand_i = out_i[:, :n_rounds]  # [B, R]
-    trunc_v = unpack_value(out_k[:, :n_rounds])
-    real = trunc_v > NEG_INF / 2
-    gathered = item_vecs[jnp.clip(cand_i, 0, n - 1)].astype(jnp.float32)  # [B, R, D]
-    exact = jnp.einsum("brd,bd->br", gathered, queries.astype(jnp.float32))
-    exact = jnp.where(real, exact, NEG_INF)
+    # phase 2: exact re-score of the top-(k + margin) chunks. cm is in the
+    # padded [n_blocks, 128] lane layout: lane j of block c is chunk j of
+    # block c when j < g, NEG_INF otherwise (a padding lane is only ever
+    # selected when every real chunk already is — harmless extra candidates).
+    # The re-score rides the Pallas rescore kernel: XLA's row gather of the
+    # same slabs measured ~2.7 ms vs ~0.1 ms of DMA at the serving shape.
+    margin = CHUNK_MARGIN if mode == "exact" else 2
+    r = min(k + margin, n_blocks * 128)
+    m = min(r, 32)  # chunk-DMA slots per grid step (cap the in_spec count)
+    r_pad = ((r + m - 1) // m) * m
+    vsel, sel = jax.lax.top_k(cm, r)  # [B, R] indices in padded lane space
+    chunk_id = jnp.minimum((sel // 128) * g + (sel % 128), n_pad // chunk - 1)
+    real = vsel > NEG_INF / 2  # padding lanes only select when all real ones did
+    if r_pad != r:
+        chunk_id = jnp.pad(chunk_id, ((0, 0), (0, r_pad - r)))
+        real = jnp.pad(real, ((0, 0), (0, r_pad - r)))
+    scores = _rescore_call(item_vecs_p, queries, chunk_id, r_pad, m, chunk)
+    item_idx = (chunk_id[:, :, None] * chunk
+                + jnp.arange(chunk, dtype=jnp.int32)[None, None, :])  # [B, Rp, chunk]
+    valid = real[:, :, None] & (item_idx < n)
+    exact = jnp.where(valid, scores, NEG_INF).reshape(b, r_pad * chunk)
     v, pos = jax.lax.top_k(exact, k)  # exact order among survivors
-    i = jnp.take_along_axis(cand_i, pos, axis=1)
+    i = jnp.take_along_axis(item_idx.reshape(b, r_pad * chunk), pos, axis=1)
     i = jnp.where(v > NEG_INF / 2, i, -1)
-    return i, v
+    return i.astype(jnp.int32), v
 
 
 def topk_mips_xla(item_vecs: jax.Array, queries: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:

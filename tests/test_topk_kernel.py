@@ -41,6 +41,19 @@ def test_topk_padding_not_selected(rng):
     assert (np.asarray(gi) < 700).all()
 
 
+def test_topk_tail_chunk_boundary(rng):
+    """Items in the final (partially out-of-bounds) chunk must be retrievable:
+    the kernel reads boundary blocks without host-side padding, masking the
+    garbage columns — a planted max-aligned item at n-1 must surface rank-1."""
+    n, d = 1037, 32  # n not a multiple of chunk or block
+    items = rng.normal(size=(n, d)).astype(np.float32)
+    items[-1] = 3.0
+    q = np.concatenate([items[-1:], rng.normal(size=(3, d)).astype(np.float32)])
+    gi, gv = topk_mips_pallas(jnp.asarray(items), jnp.asarray(q), 5, block_items=512)
+    assert int(np.asarray(gi)[0, 0]) == n - 1
+    assert (np.asarray(gi) < n).all() and (np.asarray(gi) >= 0).all()
+
+
 def test_fast_mode_matches_exact_at_serving_shapes(rng):
     """mode='fast' (strided slot pre-reduction, round 4): full recall vs the
     XLA golden at realistic odds (loss P ~ (k+8)^2/(2N) per query)."""

@@ -151,10 +151,10 @@ def _apply_rooflines(result: dict) -> None:
             pass
 
 
-def _timed_inner(body, *args, n_iter=16, n_rep=3):
-    """True device time per iteration: run `body(carry, i, *args) -> carry`
-    n_iter times inside ONE jitted lax.scan (carry-chained so nothing is
-    elided or overlapped), host-read once per rep, keep the best rep.
+def _timed_call(body, *args, n_iter=16, n_rep=3):
+    """Best total wall seconds for ONE call running `body(carry, i, *args)
+    -> carry` n_iter times inside a jitted lax.scan (carry-chained so
+    nothing is elided or overlapped), host-read once per rep.
 
     This is the only trustworthy way to time sub-10ms kernels here: each
     dispatch through the remote-TPU tunnel costs ~5-25 ms of RPC latency and
@@ -176,7 +176,39 @@ def _timed_inner(body, *args, n_iter=16, n_rep=3):
         t = time.perf_counter()
         float(jnp.ravel(run(jnp.float32(0.0), *args))[0])
         best = min(best, time.perf_counter() - t)
-    return best / n_iter
+    return best
+
+
+_FLOOR = {"s": None}
+
+
+def _dispatch_floor() -> float:
+    """One-time calibration of the fixed per-call cost of the scan harness
+    (remote dispatch RPC + host readback — measured ~26 ms through the axon
+    tunnel, identical for trivial and 64 MB-argument bodies). Subtracted
+    from every measurement: at n_iter=16 the floor otherwise inflates every
+    sub-10 ms kernel by ~1.6 ms/iteration (round-4 captures carried it)."""
+    if _FLOOR["s"] is None:
+        import jax.numpy as jnp
+
+        _FLOOR["s"] = 0.0  # re-entrancy guard while calibrating
+        tiny = jnp.ones((8, 128), jnp.float32)
+
+        def body(c, i, t):
+            return c + t[0, 0] * 1e-12 + c * 1e-12
+
+        try:
+            _FLOOR["s"] = _timed_call(body, tiny, n_iter=8, n_rep=3)
+            _merge({"dispatch_floor_ms": round(_FLOOR["s"] * 1000, 2)})
+        except Exception:  # noqa: BLE001 - no device: floor stays 0
+            pass
+    return _FLOOR["s"]
+
+
+def _timed_inner(body, *args, n_iter=16, n_rep=3):
+    """Floor-corrected device seconds per iteration (see _dispatch_floor)."""
+    best = _timed_call(body, *args, n_iter=n_iter, n_rep=n_rep)
+    return max(best - _dispatch_floor(), best * 0.05) / n_iter
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +343,7 @@ def _gat_train_core(P, attn_impl: str):
     float(steps_run(params, opt_state))
     t0 = time.perf_counter()
     float(steps_run(params, opt_state))
-    step_time = (time.perf_counter() - t0) / 4
+    step_time = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 4
 
     # forward-only (the eval/export/serving path, where the Pallas kernel
     # runs); params ride as scan args, not closure constants
@@ -508,7 +540,7 @@ def _lightgcn_step(graph, vals, n_users, n_items, d, bs, n_edges, npp=5):
     float(steps_run(params, opt_state, u, i, j))
     t0 = time.perf_counter()
     float(steps_run(params, opt_state, u, i, j))
-    dt = (time.perf_counter() - t0) / 4
+    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 4
     n_batches = max(1, n_edges // bs)  # train interactions / batch size
     return {"lightgcn_step_ms": round(dt * 1000, 2),
             "lightgcn_epoch_s_est": round(dt * n_batches, 2)}
@@ -535,11 +567,12 @@ def _sec_serving(P) -> dict:
             _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), k)
             return c + v[0, 0] * 1e-9
 
-        dt = _timed_inner(body_bf, items_bf, q_bf, n_iter=16, n_rep=2)
+        dt = _timed_inner(body_bf, items_bf, q_bf, n_iter=32, n_rep=2)
         out["serve_topk_pallas_bf16_ms"] = round(dt * 1000, 3)
         out["serve_topk_pallas_bf16_qps"] = round(batch / dt)
+        # stream + phase-2 chunk rescore (k+8 chunks x 128 rows per query)
         _roof("topk_bf16", dt, flops=2.0 * batch * n_items * d,
-              bytes_accessed=n_items * d * 2.0)
+              bytes_accessed=n_items * d * 2.0 + batch * 28 * 128 * d * 2.0)
     except Exception as e:  # noqa: BLE001
         out["serve_topk_pallas_bf16_error"] = _err(e)
 
@@ -554,15 +587,17 @@ def _sec_serving(P) -> dict:
             _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), k)
             return c + v[0, 0] * 1e-9
 
-        dt = _timed_inner(body_64, items_bf, q64, n_iter=16, n_rep=2)
+        dt = _timed_inner(body_64, items_bf, q64, n_iter=32, n_rep=2)
         out["serve_topk_pallas_bf16_b64_ms"] = round(dt * 1000, 3)
         out["serve_topk_pallas_bf16_b64_qps"] = round(big / dt)
+        _roof("topk_bf16_b64", dt, flops=2.0 * big * n_items * d,
+              bytes_accessed=n_items * d * 2.0 + big * 28 * 128 * d * 2.0)
 
         def body_64f(c, i_, it, qq):
             _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), 20, mode="fast")
             return c + v[0, 0] * 1e-9
 
-        dtf = _timed_inner(body_64f, items_bf, q64, n_iter=16, n_rep=2)
+        dtf = _timed_inner(body_64f, items_bf, q64, n_iter=32, n_rep=2)
         out["serve_topk_pallas_bf16_b64_fast_ms"] = round(dtf * 1000, 3)
         out["serve_topk_pallas_bf16_b64_fast_qps"] = round(big / dtf)
     except Exception as e:  # noqa: BLE001
@@ -578,13 +613,13 @@ def _sec_serving(P) -> dict:
                 _, v = fn(it, qq + c.astype(qq.dtype), k)
                 return c + v[0, 0].astype(jnp.float32) * 1e-9
 
-            dt = _timed_inner(body, items, q, n_iter=16, n_rep=2)
+            dt = _timed_inner(body, items, q, n_iter=32, n_rep=2)
             out[f"serve_topk_{name}_ms"] = round(dt * 1000, 3)
             out[f"serve_topk_{name}_qps"] = round(batch / dt)
             if name == "pallas":
                 # memory-bound: streams the [n_items, d] f32 table once
                 _roof("topk", dt, flops=2.0 * batch * n_items * d,
-                      bytes_accessed=n_items * d * 4.0)
+                      bytes_accessed=n_items * d * 4.0 + batch * 28 * 128 * d * 4.0)
         except Exception as e:  # noqa: BLE001
             out[f"serve_topk_{name}_error"] = _err(e)
     return out
@@ -618,7 +653,7 @@ def _sec_encoders(P) -> dict:
     for _ in range(10):
         v = vfn(vparams, imgs)
     float(v[0, 0].astype(jnp.float32))  # host read (see _timed_inner notes)
-    dt = (time.perf_counter() - t0) / 10
+    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 10
     out["vit_b32_img_per_sec"] = round(img_batch / dt)
     # reference wall: 150k items / 3.5h midpoint = 11.9 img/s
     out["vit_b32_vs_baseline"] = round((img_batch / dt) / 11.9, 1)
@@ -633,7 +668,7 @@ def _sec_encoders(P) -> dict:
     for _ in range(10):
         t = tfn(tparams, ids, mask)
     float(t[0, 0].astype(jnp.float32))
-    dt = (time.perf_counter() - t0) / 10
+    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 10
     out["minilm_txt_per_sec"] = round(txt_batch / dt)
     return out
 
@@ -702,19 +737,25 @@ FAST_PARAMS = {
 }
 
 # (name, est_seconds_full, fn, run_in_fast). Ordered headline-first: the
-# watchdog cuts from the tail, never the head.
+# watchdog cuts from the tail, never the head. HOST_PARALLEL sections touch
+# no device and run in background threads overlapped with the serial device
+# sections (scaling waits for gat_pallas, whose measured step time seeds its
+# efficiency model) — that overlap is what fits all ten sections in the
+# 900 s driver budget.
 SECTIONS = [
     ("knn", 120, _sec_knn, True),
-    ("serving", 130, _sec_serving, True),
+    ("serving", 110, _sec_serving, True),
     ("gat_pallas", 150, _sec_gat_pallas, False),  # fast tier: pallas needs TPU
-    ("gat_xla", 130, _sec_gat_xla, True),
-    ("spmm", 160, _sec_spmm, True),
+    ("gat_xla", 110, _sec_gat_xla, True),
+    ("spmm", 140, _sec_spmm, True),
     ("ui_build", 15, _sec_ui_build, True),
-    ("peaks", 60, _sec_peaks, False),
+    ("peaks", 70, _sec_peaks, False),
     ("gat_heads2", 60, _sec_gat_heads2, False),
     ("scaling", 180, _sec_scaling, True),
     ("encoders", 90, _sec_encoders, False),
 ]
+
+HOST_PARALLEL = {"ui_build": None, "scaling": "gat_pallas"}  # name -> start-after
 
 
 def main() -> None:
@@ -759,10 +800,35 @@ def main() -> None:
             time.sleep(60)
 
     HOST_ONLY = {"ui_build", "scaling"}  # no live device needed
+    P = FAST_PARAMS if fast else FULL_PARAMS
     skipped = []
+
+    def run_one(name, fn):
+        t0 = time.perf_counter()
+        try:
+            _merge(fn(P))
+        except Exception as e:  # noqa: BLE001
+            _merge({f"{name}_error": _err(e)})
+        _merge({f"sec_{name}_s": round(time.perf_counter() - t0, 1)})
+
+    threads: dict = {}
+
+    def spawn(name, fn):
+        t = threading.Thread(target=run_one, args=(name, fn), daemon=True)
+        t.start()
+        threads[name] = t
+
+    by_name = {n: f for n, _, f, _ in SECTIONS}
+    if only is None and not fast:
+        for pname, after in HOST_PARALLEL.items():
+            if after is None:
+                spawn(pname, by_name[pname])
+
     for name, est_s, fn, in_fast in SECTIONS:
         if only is not None and name != only:
             continue
+        if only is None and not fast and name in HOST_PARALLEL:
+            continue  # runs (or ran) in its background thread
         if fast and not in_fast and only is None:
             continue
         if not device_ok and name not in HOST_ONLY:
@@ -772,10 +838,21 @@ def main() -> None:
         if _left() < 0.5 * est:
             skipped.append(name)
             continue
-        try:
-            _merge(fn(FAST_PARAMS if fast else FULL_PARAMS))
-        except Exception as e:  # noqa: BLE001
-            _merge({f"{name}_error": _err(e)})
+        run_one(name, fn)
+        if only is None and not fast:
+            for pname, after in HOST_PARALLEL.items():
+                if after == name and pname not in threads:
+                    spawn(pname, by_name[pname])
+
+    # dependency-gated parallel sections whose trigger never ran
+    if only is None and not fast:
+        for pname in HOST_PARALLEL:
+            if pname not in threads and _left() > 30:
+                spawn(pname, by_name[pname])
+        for pname, t in threads.items():
+            t.join(timeout=max(1.0, _left() - 10))
+            if t.is_alive():
+                skipped.append(pname)
     if skipped:
         _merge({"sections_skipped": skipped})
 

@@ -69,7 +69,7 @@ class Graph:
         n = self.n_nodes
 
         dst_al, src_al, pos_f, tile_of, is_last = _aligned_edge_layout(real_dst, real_src, n, nb, eb)
-        t_src_key, _t_other, pos_t, t_tile_of, t_is_last = _aligned_edge_layout(real_src, real_dst, n, nb, eb)
+        t_src_key, t_other, pos_t, t_tile_of, t_is_last = _aligned_edge_layout(real_src, real_dst, n, nb, eb)
 
         e_al = len(dst_al)
         fwd_pos_of_orig = np.empty(self.n_edges, dtype=np.int64)
@@ -88,6 +88,8 @@ class Graph:
             tile_of=tile_of,
             is_last=is_last,
             t_dst=t_src_key,  # transpose's destination = original source
+            t_src=t_other,  # transpose's source = original destination
+            t_pos=np.where(pos_t >= 0, pos_t, self.n_edges).astype(np.int32),
             t_perm=t_perm,
             t_tile_of=t_tile_of,
             t_is_last=t_is_last,
@@ -149,6 +151,8 @@ class AttentionLayout:
     is_last: jax.Array  # int32 [C] 1 if last chunk of its tile
     # transpose (src-sorted, tile-aligned) for the backward scatter
     t_dst: jax.Array  # int32 [E_al_t] (= original src, sorted)
+    t_src: jax.Array  # int32 [E_al_t] (= original dst; pad -> n_nodes sentinel)
+    t_pos: jax.Array  # int32 [E_al_t] canonical edge index (pad -> n_edges)
     t_perm: jax.Array  # int32 [E_al_t] -> forward-aligned position (pad -> E_al, a zero row)
     t_tile_of: jax.Array  # int32 [C_t]
     t_is_last: jax.Array  # int32 [C_t]
@@ -173,7 +177,7 @@ class AttentionLayout:
             self,
             **{
                 f: jnp.asarray(getattr(self, f))
-                for f in ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last")
+                for f in ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_src", "t_pos", "t_perm", "t_tile_of", "t_is_last")
             },
         )
 

@@ -264,14 +264,15 @@ def segment_softmax_attention_pallas(
         if heads == 1:
             out = attention_v3(h_p, a_s_p, a_d_p, graph, dropout_rate=dropout_rate, rng=rng)
             return out[..., :d]
-        if (dropout_rate <= 0.0 or rng is None) and heads <= 8:
-            # head-packed fused forward: ONE [E, H*D] gather serves every
-            # head (per-row fetch dominates gather cost, so heads=2 costs
-            # ~1.1x heads=1 instead of 2x); XLA golden backward
+        if heads <= 8:
+            # head-packed fully fused fwd+bwd: ONE [E, H*D] gather stream
+            # serves every head in both directions; per-head dropout mask
+            # streams drawn inside (self-consistent fwd/bwd)
             from plotpointe_tpu.ops.gat_fused import attention_v3_mh
 
-            return attention_v3_mh(h_p, a_s_p, a_d_p, graph)[..., :d]
-        # dropout path: per-head fused v3 passes (fwd+bwd), one independent
+            return attention_v3_mh(h_p, a_s_p, a_d_p, graph,
+                                   dropout_rate=dropout_rate, rng=rng)[..., :d]
+        # heads > 8: per-head fused v3 passes (fwd+bwd), one independent
         # mask stream per head — keeps fwd/bwd mask self-consistency
         outs = [
             attention_v3(

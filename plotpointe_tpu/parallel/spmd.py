@@ -152,7 +152,17 @@ def shard_layout_by_tiles(graph: Graph, n_shards: int, nb: int = 256, eb: int = 
             )
         else:
             pos_global = np.full(local_pos.shape, graph.n_edges, dtype=np.int64)
-        lay = dataclasses.replace(lay, pos=pos_global.astype(np.int32))
+        local_tpos = np.asarray(lay.t_pos).astype(np.int64)
+        if gl.n_edges > 0:
+            tpos_global = np.where(
+                local_tpos < gl.n_edges,
+                idx_global[np.minimum(local_tpos, gl.n_edges - 1)],
+                graph.n_edges,
+            )
+        else:
+            tpos_global = np.full(local_tpos.shape, graph.n_edges, dtype=np.int64)
+        lay = dataclasses.replace(lay, pos=pos_global.astype(np.int32),
+                                  t_pos=tpos_global.astype(np.int32))
         layouts.append(lay)
 
     n_chunks = max(l.n_chunks for l in layouts)
@@ -179,6 +189,8 @@ def shard_layout_by_tiles(graph: Graph, n_shards: int, nb: int = 256, eb: int = 
         tile_of=pad_stack("tile_of", n_chunks, n_tiles - 1),
         is_last=pad_stack("is_last", n_chunks, 0),
         t_dst=pad_stack("t_dst", e_al_t, n),
+        t_src=pad_stack("t_src", e_al_t, n),
+        t_pos=pad_stack("t_pos", e_al_t, graph.n_edges),
         t_perm=pad_stack("t_perm", e_al_t, e_al),
         t_tile_of=pad_stack("t_tile_of", n_chunks_t, n_tiles - 1),
         t_is_last=pad_stack("t_is_last", n_chunks_t, 0),
@@ -191,7 +203,7 @@ def shard_layout_by_tiles(graph: Graph, n_shards: int, nb: int = 256, eb: int = 
 def _local_graph(stacked: AttentionLayout, leaves, n_nodes: int, n_edges: int) -> Graph:
     """Materialize a shard-local Graph around the device-local layout leaves
     ([1, ...] blocks from shard_map; attention_v3 reads only .layout/.n_nodes)."""
-    names = ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last")
+    names = ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_src", "t_pos", "t_perm", "t_tile_of", "t_is_last")
     lay = dataclasses.replace(stacked, **{k: v[0] for k, v in zip(names, leaves)})
     one = np.zeros(1, np.int32)
     return Graph(src=one, dst=one, weight=np.zeros(1, np.float32), row_ptr=np.zeros(2, np.int32),
@@ -200,7 +212,7 @@ def _local_graph(stacked: AttentionLayout, leaves, n_nodes: int, n_edges: int) -
 
 def _layout_leaves(stacked: AttentionLayout):
     return tuple(getattr(stacked, k) for k in
-                 ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_perm", "t_tile_of", "t_is_last"))
+                 ("src", "dst", "pos", "tile_of", "is_last", "t_dst", "t_src", "t_pos", "t_perm", "t_tile_of", "t_is_last"))
 
 
 def sharded_attention_fused(
@@ -228,7 +240,7 @@ def sharded_attention_fused(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()) + (P(axis),) * 9,
+        in_specs=(P(), P(), P()) + (P(axis),) * 11,
         out_specs=P(),
         check_vma=False,
     )
@@ -299,14 +311,14 @@ def make_sharded_gat_step_fused(
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(param_specs, P(), P()) + (P(axis),) * 9 + (P(axis),) * 3,
+            in_specs=(param_specs, P(), P()) + (P(axis),) * 11 + (P(axis),) * 3,
             out_specs=(param_specs, P()),
             check_vma=False,
         )
         def inner(params, item_feats, rng, *rest):
             from plotpointe_tpu.ops.gat_fused import attention_v3
 
-            lay_leaves, (u_l, i_l, j_l) = rest[:9], rest[9:]
+            lay_leaves, (u_l, i_l, j_l) = rest[:11], rest[11:]
             g_l = _local_graph(stacked, lay_leaves, n_nodes, graph_n_edges)
             dev = jax.lax.axis_index(axis)
 

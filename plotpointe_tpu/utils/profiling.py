@@ -41,11 +41,11 @@ class Roofline:
     """Achieved vs attainable for one kernel invocation.
 
     `measured_peaks`: optional {"tflops": float, "hbm_gbps": float} from
-    measure_device_peaks(). On shared/virtualized devices (this environment's
-    remote TPU delivers ~40% of spec MXU and ~10-20% of spec HBM bandwidth)
-    the spec-based sol_fraction undersells the kernel; sol_fraction_dev is
-    the fraction of what the device ACTUALLY delivers on a pure-stream /
-    pure-matmul calibration loop."""
+    measure_device_peaks(). sol_fraction_dev scores against what the device
+    ACTUALLY delivers on a pure-stream / pure-matmul calibration loop; with
+    the round-5 probes this device measures within ~3% of chip spec, so
+    sol_fraction_dev ~= sol_fraction (earlier rounds' probes under-measured
+    the peaks and inflated _dev)."""
 
     name: str
     seconds: float

@@ -259,9 +259,9 @@ def test_fused_dispatch_lane_pads_small_d(rng, d, heads):
 @pytest.mark.parametrize("heads", [2, 4])
 def test_head_packed_mh_forward_and_grads(rng, heads):
     """attention_v3_mh: heads packed into the lane dim — ONE [E, H*D] gather
-    serves every head (VERDICT r3 weak #4: the per-head loop paid H x the
-    gather traffic). Forward must match the XLA golden exactly at f32, and
-    the custom-VJP (XLA golden backward) must match XLA grads."""
+    serves every head in BOTH directions (round-5: the backward is the
+    packed fused B1/B2 path, not the XLA fallback). Forward must match the
+    XLA golden exactly at f32, and the fused VJP must match XLA grads."""
     from plotpointe_tpu.ops.gat_fused import attention_v3_mh
 
     g = _graph(rng)
@@ -289,9 +289,10 @@ def test_head_packed_mh_forward_and_grads(rng, heads):
 
 
 def test_mh_dispatch_packed_vs_dropout_fallback(rng):
-    """Dispatch: heads>1 without dropout -> packed kernel; with dropout ->
-    per-head v3 (mask-stream self-consistency). Both must agree with XLA in
-    expectation (dropout path checked at rate 0 where masks are ones)."""
+    """Dispatch: heads>1 routes the packed kernel with and without dropout
+    (round-5: per-head mask streams live inside the packed kernels). Both
+    must agree with XLA in expectation (dropout checked at rate ~0 where
+    masks are ones)."""
     from plotpointe_tpu.ops.gat_kernel import segment_softmax_attention_pallas
 
     g = _graph(rng)
@@ -307,3 +308,30 @@ def test_mh_dispatch_packed_vs_dropout_fallback(rng):
     got_loop = np.asarray(segment_softmax_attention_pallas(
         h, a_s, a_d, g, dropout_rate=1e-9, rng=jax.random.key(0)))
     np.testing.assert_allclose(got_loop, want, rtol=5e-2, atol=6e-2)
+
+
+def test_mh_dropout_grads_match_finite_difference(rng):
+    """Packed mh with dropout: bwd re-draws the same per-head mask streams
+    from the same rng, so the custom VJP must agree with a directional
+    finite difference of the (fixed-mask) primal."""
+    from plotpointe_tpu.ops.gat_fused import attention_v3_mh
+
+    g = _graph(rng)
+    heads = 2
+    h = jnp.asarray(rng.normal(size=(g.n_nodes, heads, 128)).astype(np.float32) * 0.1)
+    a_s = jnp.asarray(rng.normal(size=(heads, 128)).astype(np.float32) * 0.1)
+    a_d = jnp.asarray(rng.normal(size=(heads, 128)).astype(np.float32) * 0.1)
+    key = jax.random.key(3)
+
+    def f(h):
+        out = attention_v3_mh(h, a_s, a_d, g, dropout_rate=0.3, rng=key,
+                              hs_dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    grad = jax.grad(f)(h)
+    v = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+    v = v / jnp.linalg.norm(v)
+    eps = 1e-2
+    fd = (f(h + eps * v) - f(h - eps * v)) / (2 * eps)
+    got = jnp.vdot(grad, v)
+    np.testing.assert_allclose(float(got), float(fd), rtol=2e-2, atol=1e-4)

@@ -288,7 +288,7 @@ def _sec_knn(P) -> dict:
     return out
 
 
-def _gat_train_core(P, attn_impl: str):
+def _gat_train_core(P, attn_impl: str, time_fwd: bool = True):
     """Train-step throughput at Amazon Electronics scale (synthetic ids)."""
     import jax
     import jax.numpy as jnp
@@ -347,11 +347,13 @@ def _gat_train_core(P, attn_impl: str):
 
     # forward-only (the eval/export/serving path, where the Pallas kernel
     # runs); params ride as scan args, not closure constants
-    def fwd_body(c, i, p):
-        U, I = trainer._forward_eval(jax.tree.map(lambda t: t + c * 0, p))
-        return c + I[0, 0] * 1e-9
+    fwd_time = 0.0
+    if time_fwd:
+        def fwd_body(c, i, p):
+            U, I = trainer._forward_eval(jax.tree.map(lambda t: t + c * 0, p))
+            return c + I[0, 0] * 1e-9
 
-    fwd_time = _timed_inner(fwd_body, params, n_iter=8, n_rep=2)
+        fwd_time = _timed_inner(fwd_body, params, n_iter=8, n_rep=2)
 
     if attn_impl == "pallas" and trainer.graph.layout is not None:
         # per-layer one-hot-matmul kernel flops (cost model in ops/gat_fused.py)
@@ -366,11 +368,13 @@ def _gat_train_core(P, attn_impl: str):
 
 
 def _sec_gat_xla(P) -> dict:
-    step_time, fwd_time, eps, loss = _gat_train_core(P, "xla")
+    # fwd-only timing skipped: the XLA impl is the comparison line, and its
+    # extra compile (~40 s through the remote tunnel) pushed the full suite
+    # past the driver budget in round 4
+    step_time, _, eps, loss = _gat_train_core(P, "xla", time_fwd=False)
     # keep the best step throughput across impls (pallas runs first)
     best = max(eps, _RESULT.get("gat_train_edges_per_sec", 0))
     return {"gat_xla_step_time_s": round(step_time, 4),
-            "gat_xla_fwd_time_s": round(fwd_time, 4),
             "gat_loss": round(loss, 4),
             "gat_train_edges_per_sec": round(best)}
 
@@ -385,9 +389,12 @@ def _sec_gat_pallas(P) -> dict:
     return out
 
 
-def _sec_gat_heads2(P) -> dict:
-    """heads=2 attention forward at Amazon scale (the reference's --heads
-    ablation, train_gat_pyg.py:203): head-packed fused kernel."""
+def _sec_gat_kernels(P) -> dict:
+    """Layer-level attention kernel timings at Amazon scale: heads=1
+    forward/backward with backward MFU accounting (round-4 left ~160 ms of
+    step time unprofiled), and the head-packed heads=2 fwd + fused fwd/bwd
+    (the reference's --heads ablation, train_gat_pyg.py:203)."""
+    import jax
     import jax.numpy as jnp
 
     from plotpointe_tpu.graphs.csr import build_bipartite_graph
@@ -399,16 +406,47 @@ def _sec_gat_heads2(P) -> dict:
     tu = rng.integers(0, n_users, n_edges).astype(np.int32)
     ti = rng.integers(0, n_items, n_edges).astype(np.int32)
     g = build_bipartite_graph(tu, ti, n_users, n_items).with_layout().to_device()
-    h = jnp.asarray(rng.normal(size=(g.n_nodes, 2, d)).astype(np.float32) * 0.1)
-    a_s = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
-    a_d = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
+    L = g.layout
+    out: dict = {}
 
-    def body(c, i, h, a_s, a_d):
-        out = segment_softmax_attention_pallas(h + c * 0, a_s, a_d, g)
-        return c + out[0, 0, 0] * 1e-9
+    def fwd_body(heads):
+        h = jnp.asarray(rng.normal(size=(g.n_nodes, heads, d)).astype(np.float32) * 0.1)
+        a_s = jnp.asarray(rng.normal(size=(heads, d)).astype(np.float32))
+        a_d = jnp.asarray(rng.normal(size=(heads, d)).astype(np.float32))
 
-    dt = _timed_inner(body, h, a_s, a_d, n_iter=8, n_rep=2)
-    return {"gat_heads2_fwd_ms": round(dt * 1000, 2)}
+        def body(c, i, h, a_s, a_d):
+            o = segment_softmax_attention_pallas(h + c * 0, a_s, a_d, g)
+            return c + o[0, 0, 0] * 1e-9
+
+        def bodyb(c, i, h, a_s, a_d):
+            gr = jax.grad(lambda hh: jnp.sum(
+                segment_softmax_attention_pallas(hh, a_s, a_d, g) ** 2))(h + c * 0)
+            return c + gr[0, 0, 0] * 1e-9
+
+        return (h, a_s, a_d), body, bodyb
+
+    args1, b1, bb1 = fwd_body(1)
+    dt_f1 = _timed_inner(b1, *args1, n_iter=8, n_rep=2)
+    dt_fb1 = _timed_inner(bb1, *args1, n_iter=8, n_rep=2)
+    out["gat_attn_layer_fwd_ms"] = round(dt_f1 * 1000, 2)
+    out["gat_attn_layer_fwdbwd_ms"] = round(dt_fb1 * 1000, 2)
+    # backward = fwd+bwd - fwd; traffic model: B1 re-reads the hs stream,
+    # B2 reads the gathered Gt rows + the 128-lane scalar table, and the two
+    # node-table gathers write those streams once each (bf16 rows)
+    bwd_s = max(dt_fb1 - dt_f1, 1e-6)
+    e_al, e_al_t = L.e_aligned, L.n_chunks_t * L.eb
+    bwd_bytes = e_al * d * 2.0 + e_al_t * (2 * d + 2 * 128) * 2.0
+    bwd_flops = 4.0 * (L.n_chunks + L.n_chunks_t) * L.nb * L.eb * d
+    _roof("gat_attn_bwd", bwd_s, flops=bwd_flops, bytes_accessed=bwd_bytes)
+
+    args2, b2, bb2 = fwd_body(2)
+    dt_f2 = _timed_inner(b2, *args2, n_iter=8, n_rep=2)
+    out["gat_heads2_fwd_ms"] = round(dt_f2 * 1000, 2)
+    out["gat_heads2_vs_heads1"] = round(dt_f2 / dt_f1, 2)
+    if _left() > 60:
+        dt_fb2 = _timed_inner(bb2, *args2, n_iter=8, n_rep=2)
+        out["gat_heads2_fwdbwd_ms"] = round(dt_fb2 * 1000, 2)
+    return out
 
 
 def _sec_ui_build(P) -> dict:
@@ -593,13 +631,6 @@ def _sec_serving(P) -> dict:
         _roof("topk_bf16_b64", dt, flops=2.0 * big * n_items * d,
               bytes_accessed=n_items * d * 2.0 + big * 28 * 128 * d * 2.0)
 
-        def body_64f(c, i_, it, qq):
-            _, v = topk_mips_pallas(it, qq + c.astype(jnp.bfloat16), 20, mode="fast")
-            return c + v[0, 0] * 1e-9
-
-        dtf = _timed_inner(body_64f, items_bf, q64, n_iter=32, n_rep=2)
-        out["serve_topk_pallas_bf16_b64_fast_ms"] = round(dtf * 1000, 3)
-        out["serve_topk_pallas_bf16_b64_fast_qps"] = round(big / dtf)
     except Exception as e:  # noqa: BLE001
         out["serve_topk_pallas_bf16_b64_error"] = _err(e)
 
@@ -650,10 +681,10 @@ def _sec_encoders(P) -> dict:
     vfn = jax.jit(vit.apply)
     float(vfn(vparams, imgs)[0, 0].astype(jnp.float32))  # compile
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(6):
         v = vfn(vparams, imgs)
     float(v[0, 0].astype(jnp.float32))  # host read (see _timed_inner notes)
-    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 10
+    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 6
     out["vit_b32_img_per_sec"] = round(img_batch / dt)
     # reference wall: 150k items / 3.5h midpoint = 11.9 img/s
     out["vit_b32_vs_baseline"] = round((img_batch / dt) / 11.9, 1)
@@ -665,10 +696,10 @@ def _sec_encoders(P) -> dict:
     tfn = jax.jit(txt.apply)
     float(tfn(tparams, ids, mask)[0, 0].astype(jnp.float32))  # compile
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(6):
         t = tfn(tparams, ids, mask)
     float(t[0, 0].astype(jnp.float32))
-    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 10
+    dt = max(time.perf_counter() - t0 - _dispatch_floor(), 0.0) / 6
     out["minilm_txt_per_sec"] = round(txt_batch / dt)
     return out
 
@@ -744,15 +775,15 @@ FAST_PARAMS = {
 # 900 s driver budget.
 SECTIONS = [
     ("knn", 120, _sec_knn, True),
-    ("serving", 110, _sec_serving, True),
-    ("gat_pallas", 150, _sec_gat_pallas, False),  # fast tier: pallas needs TPU
-    ("gat_xla", 110, _sec_gat_xla, True),
+    ("serving", 95, _sec_serving, True),
+    ("gat_pallas", 165, _sec_gat_pallas, False),  # fast tier: pallas needs TPU
     ("spmm", 140, _sec_spmm, True),
-    ("ui_build", 15, _sec_ui_build, True),
+    ("gat_kernels", 120, _sec_gat_kernels, False),
     ("peaks", 70, _sec_peaks, False),
-    ("gat_heads2", 60, _sec_gat_heads2, False),
+    ("encoders", 80, _sec_encoders, False),
+    ("gat_xla", 85, _sec_gat_xla, True),  # tail: pure-XLA comparison line
+    ("ui_build", 15, _sec_ui_build, True),
     ("scaling", 180, _sec_scaling, True),
-    ("encoders", 90, _sec_encoders, False),
 ]
 
 HOST_PARALLEL = {"ui_build": None, "scaling": "gat_pallas"}  # name -> start-after

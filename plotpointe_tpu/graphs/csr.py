@@ -159,6 +159,11 @@ class AttentionLayout:
     nb: int = dataclasses.field(metadata=dict(static=True))
     eb: int = dataclasses.field(metadata=dict(static=True))
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
+    # multi-shard stacks only (parallel/spmd.shard_layout_by_tiles): the tile
+    # partition bounds [b_0..b_n], shard d owning tiles [b_d, b_{d+1}) — the
+    # gather-overlay combine needs true ownership (every shard's local chunk
+    # list covers ALL tiles, so tile_of can't recover it)
+    tile_bounds: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def n_chunks(self) -> int:

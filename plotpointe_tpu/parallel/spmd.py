@@ -197,6 +197,7 @@ def shard_layout_by_tiles(graph: Graph, n_shards: int, nb: int = 256, eb: int = 
         nb=nb,
         eb=eb,
         n_tiles=int(n_tiles),
+        tile_bounds=tuple(int(b) for b in bounds),
     )
 
 
@@ -263,7 +264,7 @@ def make_sharded_gat_step_fused(
     axis: str = "data",
     dropout_rate: float = 0.0,
     hs_dtype=jnp.bfloat16,
-    overlay_dtype=None,
+    overlay_dtype=jnp.bfloat16,
 ) -> Callable:
     """Fully sharded GAT training step on the fused Pallas kernels: the
     multi-chip counterpart of the single-chip flagship path (attn_impl=
@@ -276,14 +277,15 @@ def make_sharded_gat_step_fused(
     (the fused flagship config). Dropout masks are drawn in-kernel per device
     from fold_in(rng, layer, device).
 
-    overlay_dtype: dtype for the per-layer psum overlay payloads (None = keep
-    f32, exact). The overlay is one-writer-per-row (each destination tile is
-    owned by exactly one device; other devices contribute exact zeros), so a
-    bf16 psum loses ONLY the bf16 quantization of the written activation —
-    no cross-device accumulation error — while halving the dominant wire
-    traffic (scaling_audit: the per-layer [N,128] psums are ~90% of
-    wire bytes; bf16 overlays lift the predicted 8-chip efficiency from
-    ~79% to ~88%)."""
+    overlay_dtype: dtype for the per-layer psum overlay payloads (None =
+    keep f32, exact). DEFAULT bf16 — the flagship config: the overlay is
+    one-writer-per-row (each destination tile is owned by exactly one
+    device; other devices contribute exact zeros), so a bf16 psum loses
+    ONLY the bf16 quantization of the written activation — no cross-device
+    accumulation error — while halving the dominant wire traffic
+    (scaling_audit: the per-layer [N,128] psums are ~90% of wire bytes;
+    bf16 overlays lift the predicted 8-chip efficiency from ~79% to ~88%).
+    Pass None for the bit-exact f32 overlay (parity tests)."""
     n_nodes = n_users + n_items
     n_shards = int(mesh.shape[axis])
     loss_fn_elem = LOSSES[loss_name]
@@ -298,6 +300,27 @@ def make_sharded_gat_step_fused(
 
     leaves_dev = tuple(put_sharded(np.asarray(a), mesh, P(axis)) for a in _layout_leaves(stacked))
     graph_n_edges = 0  # attention_v3 reads only layout/n_nodes; n_edges is metadata
+
+    # static owned-tile row ranges (shard_layout_by_tiles partitions tiles
+    # contiguously): the per-layer overlay combine becomes an all_gather of
+    # each device's OWN rows instead of an all_reduce of the full [N, D]
+    # array — a ring all_gather moves HALF the all_reduce's wire bytes for
+    # the same logical payload, and the autodiff transpose (psum_scatter)
+    # halves the backward's cotangent wire too. It also stops relying on
+    # non-owned output blocks being zero.
+    nbl = stacked.nb
+    _tb = list(stacked.tile_bounds)
+    _gather_overlay = (
+        n_shards > 1
+        and len(_tb) == n_shards + 1
+        and _tb == sorted(_tb)
+        and all(_tb[dv + 1] > _tb[dv] for dv in range(n_shards))
+    )
+    _los = _tb[:-1] if _gather_overlay else [0] * n_shards
+    _his = _tb[1:] if _gather_overlay else [0] * n_shards
+    _max_rows = max((hi - lo) for lo, hi in zip(_los, _his)) * nbl if _gather_overlay else 0
+    _lo_rows = jnp.asarray([lo * nbl for lo in _los], jnp.int32)
+    wire_dt = None if hs_dtype == jnp.float32 else jnp.bfloat16
 
     @jax.jit
     def _step(params, item_feats, rng, u, i, j, *leaves):
@@ -322,8 +345,50 @@ def make_sharded_gat_step_fused(
             g_l = _local_graph(stacked, lay_leaves, n_nodes, graph_n_edges)
             dev = jax.lax.axis_index(axis)
 
+            def gather_table(ue):
+                if wire_dt is None:
+                    return jax.lax.all_gather(ue, axis, tiled=True)
+
+                # bf16 on the wire both ways (the fused kernels consume the
+                # rows at bf16 anyway); the psum_scatter'd table grad is
+                # bf16-rounded per contribution
+                @jax.custom_vjp
+                def ag(u):
+                    return jax.lax.all_gather(u.astype(wire_dt), axis,
+                                              tiled=True).astype(jnp.float32)
+
+                def ag_fwd(u):
+                    return ag(u), None
+
+                def ag_bwd(_, g):
+                    return (jax.lax.psum_scatter(
+                        g.astype(wire_dt), axis, scatter_dimension=0,
+                        tiled=True).astype(jnp.float32),)
+
+                ag.defvjp(ag_fwd, ag_bwd)
+                return ag(ue)
+
+            def combine_overlay(out_l):
+                o2 = out_l[:, 0, :]  # [n_nodes, D]
+                if not _gather_overlay:
+                    if overlay_dtype is not None:
+                        o2 = o2.astype(overlay_dtype)
+                    # overlay: off-shard rows are exact zeros (one writer/row)
+                    return jax.lax.psum(o2, axis).astype(jnp.float32)
+                dpad = o2.shape[1]
+                pad_to = _los[-1] * nbl + _max_rows  # static upper bound
+                o2p = jnp.pad(o2, ((0, pad_to - n_nodes), (0, 0)))
+                sl = jax.lax.dynamic_slice(
+                    o2p, (jnp.take(_lo_rows, dev), jnp.int32(0)), (_max_rows, dpad))
+                if overlay_dtype is not None:
+                    sl = sl.astype(overlay_dtype)
+                gathered = jax.lax.all_gather(sl, axis, tiled=True)
+                parts = [gathered[dv * _max_rows: dv * _max_rows + (_his[dv] - _los[dv]) * nbl]
+                         for dv in range(n_shards)]
+                return jnp.concatenate(parts, axis=0)[:n_nodes].astype(jnp.float32)
+
             def local_loss(p):
-                ue = jax.lax.all_gather(p["user_emb"], axis, tiled=True)[:n_users]
+                ue = gather_table(p["user_emb"])[:n_users]
                 v = item_feats @ p["item_proj"]["w"] + p["item_proj"]["b"]
                 x = jnp.concatenate([ue, v], axis=0)
                 for li, layer in enumerate(p["layers"]):
@@ -334,11 +399,7 @@ def make_sharded_gat_step_fused(
                     out_l = attention_v3(h, layer["a_src"], layer["a_dst"], g_l,
                                          dropout_rate=dropout_rate, rng=lrng,
                                          hs_dtype=hs_dtype)
-                    if overlay_dtype is not None:
-                        out_l = out_l.astype(overlay_dtype)
-                    # overlay: off-shard rows are exact zeros (one writer/row)
-                    out = jax.lax.psum(out_l, axis).astype(jnp.float32)
-                    x = out[:, 0, :]
+                    x = combine_overlay(out_l)
                     if model.use_bias:
                         x = x + layer["b"]
                 U, I = x[:n_users], x[n_users:]
@@ -603,7 +664,7 @@ def make_sharded_spmm(
     nb: int = 256,
     eb: int = 1024,
     xs_dtype=jnp.bfloat16,
-    overlay_dtype=None,
+    overlay_dtype=jnp.bfloat16,
 ) -> Callable:
     """Multi-chip static SpMM operator: fn(x [N, F] replicated) -> y [N, F].
 

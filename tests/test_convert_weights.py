@@ -137,6 +137,68 @@ def test_image_pixel_stage(tmp_path):
     assert list(kept["asin"]) == ["a0", "a1", "a2"]
 
 
+@pytest.mark.parametrize("_", [0])
+def test_minilm_conversion_full_size_parity(_):
+    """Same converter parity at the REAL all-MiniLM-L6-v2 architecture dims
+    (6 layers, 384 hidden, 12 heads, 1536 ffn, 30522 vocab) — random-init HF
+    oracle built in-process, so this runs in zero-egress environments where
+    the real-checkpoint fixtures (below) cannot be generated. Covers every
+    shape-dependent mapping step (fused qkv at head_dim 32, folded
+    token-type row, position slice) at production scale."""
+    cfg = transformers.BertConfig(
+        vocab_size=30522, hidden_size=384, num_hidden_layers=6,
+        num_attention_heads=12, intermediate_size=1536,
+        max_position_embeddings=512, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BertModel(cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    max_len = 64
+    params = _np_tree(convert_minilm_state_dict(sd, max_len=max_len))
+    enc = TransformerTextEncoder(
+        vocab_size=30522, hidden=384, n_layers=6, heads=12, ffn=1536, max_len=max_len
+    )
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 30522, (2, max_len)).astype(np.int64)
+    mask = np.ones((2, max_len), np.float32)
+    mask[1, 40:] = 0.0
+    with torch.no_grad():
+        hidden = hf(input_ids=torch.tensor(ids),
+                    attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    m = mask[..., None]
+    want = (hidden * m).sum(1) / np.maximum(m.sum(1), 1.0)
+    want /= np.linalg.norm(want, axis=1, keepdims=True) + 1e-12
+    got = np.asarray(enc.apply(params, jnp.asarray(ids.astype(np.int32)), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_clip_vision_full_size_parity():
+    """Converter parity at the REAL clip-vit-base-patch32 dims (12 layers,
+    768 hidden, 12 heads, 224px/32 patches, 512 projection) with an
+    in-process random-init HF oracle — the zero-egress counterpart of the
+    real-checkpoint fixture test below."""
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, image_size=224, patch_size=32,
+        projection_dim=512, hidden_act="quick_gelu", attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = _np_tree(convert_clip_vision_state_dict(sd))
+    enc = ViTImageEncoder(
+        image_size=224, patch=32, hidden=768, n_layers=12, heads=12, ffn=3072, out_dim=512
+    )
+    rng = np.random.default_rng(2)
+    imgs = rng.normal(size=(2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(pixel_values=torch.tensor(imgs.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    want = want / (np.linalg.norm(want, axis=1, keepdims=True) + 1e-12)
+    got = np.asarray(enc.apply(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 # -- real-checkpoint fixtures (tools/fetch_fixtures.py) -----------------------
 # Generated on a network-enabled machine; skipped when absent. These close the
 # loop numerically: converted-JAX towers reproduce the REAL

@@ -125,8 +125,11 @@ def test_sharded_fused_gat_step_matches_single(devices8, setup):
 
     sharded_params = dict(params)
     sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh)
+    # overlay_dtype=None: the bit-exact combine for reference parity; the
+    # bf16-overlay default is quality-checked separately below and by
+    # test_sharded_trainer's fused fit test
     step = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
-                                       hs_dtype=jnp.float32)
+                                       hs_dtype=jnp.float32, overlay_dtype=None)
     grads, loss = step(sharded_params, feats_j, jax.random.key(9), u, i, j)
 
     gd = g.to_device()
@@ -144,6 +147,15 @@ def test_sharded_fused_gat_step_matches_single(devices8, setup):
     for got_l, want_l in zip(grads["layers"], want_grads["layers"]):
         for k in got_l:
             np.testing.assert_allclose(np.asarray(got_l[k]), np.asarray(want_l[k]), rtol=1e-4, atol=1e-5)
+
+    # the flagship default (bf16 psum/gather overlays + bf16 table wire at
+    # hs_dtype=bf16) carries only written-value quantization: loose parity
+    step_bf = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
+                                          hs_dtype=jnp.float32)
+    grads_bf, loss_bf = step_bf(sharded_params, feats_j, jax.random.key(9), u, i, j)
+    np.testing.assert_allclose(float(loss_bf), float(want_loss), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(grads_bf["user_emb"])[:n_users],
+                               np.asarray(want_grads["user_emb"]), atol=5e-4)
 
 
 @pytest.mark.multidevice

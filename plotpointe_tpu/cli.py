@@ -105,6 +105,7 @@ def _cmd_embed_image(args):
         max_items=args.max_items,
         seed=args.seed,
         pixels=args.pixels or None,
+        allow_remote=getattr(args, "allow_remote", False),
         weights=args.weights,
     )
     print(json.dumps(meta, indent=2))
@@ -579,6 +580,10 @@ def main(argv=None):
     p.add_argument("--chunk-id", type=int, default=None)
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--allow-remote", action="store_true",
+                   help="download http(s) image_urls (timeout+retry), like the "
+                        "reference's per-item fetch loop; off by default "
+                        "(zero-egress)")
     p.add_argument("--pixels", action="store_true",
                    help="decode local image files (CLIP preprocessing + ViT encode)")
     p.add_argument("--weights", default=None, help="converted CLIP-vision npz")

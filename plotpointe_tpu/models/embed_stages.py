@@ -119,6 +119,7 @@ def embed_image_stage(
     seed: int = 42,
     pixels: Optional[bool] = None,
     weights: Optional[str] = None,
+    allow_remote: bool = False,
 ) -> Tuple[np.ndarray, Dict]:
     """items with image_url -> img{_chunk}.npy + img_items{_chunk}.parquet.
 
@@ -133,6 +134,11 @@ def embed_image_stage(
         `weights` (tools/convert_weights.py output) for real CLIP features.
       - url-hash path (zero-egress fallback for remote URLs without staged
         files): deterministic hash encoder over the URL string.
+
+    allow_remote=True (cli: --allow-remote) additionally downloads http(s)
+    image_urls with timeout+retry, reproducing the reference's per-item
+    download loop (`embed_image.py:23-31`) — flag-gated so nothing in the
+    default pipeline performs network IO.
     """
     store = store or ArtifactStore()
     t0 = time.time()
@@ -148,12 +154,13 @@ def embed_image_stage(
         from plotpointe_tpu.models.image_io import local_path
 
         lp = local_path(urls[0])
-        pixels = lp is not None and lp.exists()
+        pixels = (lp is not None and lp.exists()) or (allow_remote and lp is None)
 
     if pixels:
         from plotpointe_tpu.models.image_io import encode_image_files
 
-        emb, ok, n_failures = encode_image_files(urls, weights=weights)
+        emb, ok, n_failures = encode_image_files(urls, weights=weights,
+                                                 allow_remote=allow_remote)
         with_img = with_img[ok].reset_index(drop=True)
     else:
         if encoder is None:

@@ -48,15 +48,57 @@ def preprocess_clip(img) -> np.ndarray:
     return (x - CLIP_MEAN) / CLIP_STD
 
 
-def load_image_batch(paths: List[str]) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode + preprocess a list of local files.
+def fetch_image(url: str, timeout: float = 5.0, retries: int = 2):
+    """Download an image over HTTP with timeout + retry; None on failure.
+
+    The reference downloads each image per item (`embed_image.py:23-31`:
+    requests.get(timeout=5) -> PIL decode, failures counted); this is the
+    flag-gated equivalent on stdlib urllib (zero extra dependency), with
+    bounded exponential backoff between attempts."""
+    import io
+    import time as _time
+    import urllib.request
+
+    from PIL import Image
+
+    for attempt in range(retries + 1):
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": "plotpointe-tpu/1.0"})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = resp.read()
+            img = Image.open(io.BytesIO(data))
+            img.load()
+            return img
+        except Exception:  # noqa: BLE001 — any failure counts like the reference's
+            if attempt < retries:
+                _time.sleep(min(0.25 * (2 ** attempt), 2.0))
+    return None
+
+
+def load_image_batch(paths: List[str], allow_remote: bool = False,
+                     timeout: float = 5.0, retries: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode + preprocess a list of image refs (local files; http(s) URLs
+    too when allow_remote — flag-gated so the zero-egress pipeline never
+    issues network IO by surprise).
     Returns (pixels [N_ok, 224, 224, 3], ok_mask [N] bool)."""
     from PIL import Image
 
     out, ok = [], np.zeros(len(paths), bool)
     for r, p in enumerate(paths):
         lp = local_path(str(p))
-        if lp is None or not lp.exists():
+        if lp is None:
+            if not allow_remote:
+                continue
+            img = fetch_image(str(p), timeout=timeout, retries=retries)
+            if img is None:
+                continue
+            try:
+                out.append(preprocess_clip(img))
+                ok[r] = True
+            except Exception:  # noqa: BLE001
+                continue
+            continue
+        if not lp.exists():
             continue
         try:
             with Image.open(lp) as img:
@@ -73,6 +115,7 @@ def encode_image_files(
     weights: Optional[str] = None,
     batch_size: int = 64,
     compute_dtype: str = "bfloat16",
+    allow_remote: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Local image files -> CLIP-vision embeddings.
 
@@ -93,7 +136,7 @@ def encode_image_files(
     params = jax.tree.map(lambda a: jnp.asarray(a, dt), params)
     apply = jax.jit(enc.apply)
 
-    pixels, ok = load_image_batch(uris)
+    pixels, ok = load_image_batch(uris, allow_remote=allow_remote)
     n_fail = int((~ok).sum())
     if not len(pixels):
         return np.zeros((0, enc.out_dim), np.float32), ok, n_fail

@@ -107,3 +107,46 @@ def test_vit_image_encoder_shapes():
     out = jax.jit(enc.apply)(params, imgs)
     assert out.shape == (3, 16)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-5)
+
+
+def test_remote_image_fetch_with_local_http_server(tmp_path):
+    """Flag-gated remote fetch (reference parity: embed_image.py:23-31
+    download with timeout + failure counting): serve real/corrupt images
+    from a local HTTP server, assert fetch+decode+CLIP pipeline and failure
+    accounting; default (allow_remote=False) must not fetch at all."""
+    import http.server
+    import threading
+
+    import numpy as np
+    from PIL import Image
+
+    from plotpointe_tpu.models.image_io import fetch_image, load_image_batch
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "good.png").write_bytes(b"")
+    Image.fromarray(rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)).save(tmp_path / "good.png")
+    (tmp_path / "bad.png").write_bytes(b"not a png")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        img = fetch_image(f"{base}/good.png", timeout=5, retries=1)
+        assert img is not None and img.size == (50, 40)
+        assert fetch_image(f"{base}/bad.png", timeout=5, retries=0) is None
+        assert fetch_image(f"{base}/missing.png", timeout=5, retries=1) is None
+
+        urls = [f"{base}/good.png", f"{base}/bad.png", f"{base}/missing.png"]
+        pixels, ok = load_image_batch(urls, allow_remote=True, retries=0)
+        assert list(ok) == [True, False, False]
+        assert pixels.shape == (1, 224, 224, 3)
+
+        # default stays zero-egress: remote refs are failures, nothing fetched
+        pixels0, ok0 = load_image_batch(urls)
+        assert not ok0.any() and pixels0.shape[0] == 0
+    finally:
+        srv.shutdown()

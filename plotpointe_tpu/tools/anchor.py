@@ -132,9 +132,30 @@ def run_anchor(
     feats = synthetic_features(splits.n_items, 128, seed=seed, factors=fac_rows,
                                noise=feature_noise)
 
+    # pin the data regime: hash of the generator CONFIG and the generator
+    # SOURCE, recorded in the artifact and asserted by the gate manifest —
+    # the anchor bands certify numbers on generator-tuned data, so any
+    # generator change must show up as a hash mismatch, not silently move
+    # the goalposts (VERDICT r4 weak #6)
+    import hashlib
+    import inspect
+
+    from plotpointe_tpu.data import synthetic as _syn_mod
+
+    gen_cfg = dict(shape=shape, seed=seed, affinity=affinity,
+                   n_clusters=n_clusters, candidate_pool=candidate_pool,
+                   item_cluster_sigma=item_cluster_sigma,
+                   user_cluster_sigma=user_cluster_sigma,
+                   cluster_pool_bias=cluster_pool_bias,
+                   feature_noise=feature_noise)
+    gen_src = inspect.getsource(_syn_mod)
+    generator_hash = hashlib.sha256(
+        (json.dumps(gen_cfg, sort_keys=True) + gen_src).encode()).hexdigest()[:16]
+
     results = {"dataset": realized, "affinity_strength": affinity, "scale": scale,
                "n_clusters": n_clusters, "candidate_pool": candidate_pool,
                "feature_noise": feature_noise,
+               "generator_config": gen_cfg, "generator_hash": generator_hash,
                "protocol": "leave-last chronological, 1+1000 sampled negatives, strict rank",
                "reference_band": {"ndcg@20": 0.0160, "recall@20": 0.0433,
                                   "source": "PHASE5_ABLATIONS_REPORT.md:20 (fused+BPR, real data)"}}
@@ -252,6 +273,12 @@ def main(argv=None):
     if args.gate_baseline:
         spec = json.loads(Path(args.gate_baseline).read_text())
         fails, skipped = [], []
+        want_hash = spec.get("generator_hash")
+        if want_hash and results.get("generator_hash") != want_hash:
+            # the bands were certified on a specific generator regime;
+            # different data => the gate's thresholds are meaningless
+            fails.append(
+                f"generator_hash: {results.get('generator_hash')} != pinned {want_hash}")
         for path, lo in spec.get("min", {}).items():
             sect, metric = path.split(".")
             if sect not in results:

@@ -89,6 +89,80 @@ def run_job(spec: Dict, overrides: Dict[str, str], remote: str | None = None,
     return rc
 
 
+def race_job(spec: Dict, overrides: Dict[str, str], workers: List[str],
+             grace_s: float = 3.0, timeout_s: float = 3600.0,
+             dry_run: bool = False) -> int:
+    """First-capacity-wins job racing across zones/workers.
+
+    The reference submits the SAME Vertex job to three regions, polls until
+    one reaches RUNNING, keeps it and cancels the rest
+    (`scripts/launch_lightgcn_race.sh:9-60` — a capacity-hunting pattern for
+    scarce accelerators). TPU-native analog: launch the rendered command on
+    every worker ("name:zone" TPU VMs via gcloud ssh, or "local" for
+    tests/single-VM); a capacity-denied submission exits immediately
+    non-zero and drops out; the FIRST submission still alive after
+    `grace_s` (or already completed cleanly) wins and the others are
+    terminated. Exit code = the winner's."""
+    cmds = []
+    for w in workers:
+        if w == "local":
+            cmd = render_command(spec, dict(overrides, WORKER="local"))
+        else:
+            name, _, zone = w.partition(":")
+            base = render_command(spec, dict(overrides, WORKER=name))
+            cmd = (f"gcloud compute tpus tpu-vm ssh {name} --zone={zone or 'us-west4-a'} "
+                   f"--command={shlex.quote(base)}")
+        cmds.append((w, cmd))
+        print(json.dumps({"race": spec["name"], "worker": w, "command": cmd}))
+    if dry_run:
+        return 0
+
+    procs = [(w, subprocess.Popen(cmd, shell=True), time.time()) for w, cmd in cmds]
+    winner = None
+    t0 = time.time()
+    try:
+        while winner is None and time.time() - t0 < timeout_s:
+            alive = []
+            for w, pr, ts in procs:
+                rc = pr.poll()
+                if rc == 0:  # finished cleanly before the grace window: winner
+                    winner = (w, pr, ts)
+                    break
+                if rc is not None:  # capacity denied / failed: drops out
+                    print(json.dumps({"race": spec["name"], "worker": w,
+                                      "rc": rc, "action": "dropped"}), file=sys.stderr)
+                    continue
+                if time.time() - ts >= grace_s:  # running past grace: winner
+                    winner = (w, pr, ts)
+                    break
+                alive.append((w, pr, ts))
+            else:
+                procs = alive
+                if not procs:
+                    print(json.dumps({"race": spec["name"],
+                                      "error": "no worker accepted the job"}))
+                    return 1
+                time.sleep(0.1)
+                continue
+            break
+    finally:
+        for w, pr, _ in procs:
+            if winner is not None and pr is winner[1]:
+                continue
+            if pr.poll() is None:
+                pr.terminate()
+                print(json.dumps({"race": spec["name"], "worker": w,
+                                  "action": "cancelled (lost the race)"}), file=sys.stderr)
+    if winner is None:
+        return 1
+    w, pr, _ = winner
+    print(json.dumps({"race": spec["name"], "winner": w}))
+    rc = pr.wait()
+    print(json.dumps({"job": spec["name"], "worker": w, "rc": rc,
+                      "wall_s": round(time.time() - t0, 1)}))
+    return rc
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -99,6 +173,15 @@ def main(argv=None) -> int:
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     p.add_argument("--remote", default=None, help="TPU VM name (render gcloud ssh)")
     p.add_argument("--zone", default="us-west4-a")
+    p.add_argument("--dry-run", action="store_true")
+    p = sub.add_parser("race", help="submit one job to several workers; first "
+                                    "with capacity wins, the rest are cancelled")
+    p.add_argument("spec")
+    p.add_argument("--worker", action="append", required=True, metavar="NAME:ZONE",
+                   help="repeatable; 'local' runs the command locally (tests)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
+    p.add_argument("--grace", type=float, default=3.0)
+    p.add_argument("--timeout", type=float, default=3600.0)
     p.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
 
@@ -115,6 +198,10 @@ def main(argv=None) -> int:
     for kv in args.set:
         k, _, v = kv.partition("=")
         overrides[k] = v
+    if args.cmd == "race":
+        return race_job(load_job(args.spec), overrides, args.worker,
+                        grace_s=args.grace, timeout_s=args.timeout,
+                        dry_run=args.dry_run)
     return run_job(load_job(args.spec), overrides, remote=args.remote,
                    dry_run=args.dry_run, zone=args.zone)
 

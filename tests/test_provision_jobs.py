@@ -109,3 +109,39 @@ def test_job_dry_run_end_to_end(tmp_path):
     meta = json.loads(out.stdout.strip().splitlines()[0])
     assert "--epochs 3" in meta["command"]
     assert meta["restart_on_preemption"] is True
+
+
+def test_job_race_first_capacity_wins(tmp_path, capsys):
+    """Capacity-race parity (launch_lightgcn_race.sh:9-60): one winner past
+    the grace window, capacity-denied submissions drop out, losers killed."""
+    import json as _json
+
+    from plotpointe_tpu.tools.jobs import load_job, race_job
+
+    marker = tmp_path / "winner.txt"
+    spec_p = tmp_path / "race.yaml"
+    spec_p.write_text(
+        "name: race-test\n"
+        "command: |\n"
+        f"  sh -c 'if [ \"${{WORKER}}\" = \"local\" ]; then sleep 0.2 && echo ${{WORKER}} > {marker}; else exit 1; fi'\n"
+    )
+    spec = load_job(spec_p)
+    # two "remote" workers rendered as gcloud ssh would fail to even spawn in
+    # this environment; use three local-style entries where only WORKER=local
+    # succeeds — the others exit 1 instantly (capacity denied)
+    rc = race_job(spec, {}, ["local", "local", "local"], grace_s=5.0, timeout_s=30.0)
+    assert rc == 0
+    assert marker.read_text().strip() == "local"
+    out = capsys.readouterr().out
+    lines = [_json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert any("winner" in l for l in lines)
+
+
+def test_job_race_all_denied(tmp_path):
+    from plotpointe_tpu.tools.jobs import load_job, race_job
+
+    spec_p = tmp_path / "race.yaml"
+    spec_p.write_text("name: race-denied\ncommand: \"sh -c 'exit 7'\"\n")
+    spec = load_job(spec_p)
+    rc = race_job(spec, {}, ["local", "local"], grace_s=2.0, timeout_s=10.0)
+    assert rc == 1  # no region accepted the job (reference exits 1 too)

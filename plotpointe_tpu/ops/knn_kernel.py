@@ -63,7 +63,9 @@ def _knn_kernel(br: int, bc: int, n_rounds: int, n: int):
         scores = jnp.where(col_g == row_g, NEG_INF, scores)  # exclude self
         scores = jnp.where(col_g < n, scores, NEG_INF)  # mask padding columns
 
-        nk, ni = merge_topk_packed(run_k[:], run_i[:], scores, c * bc, n_rounds)
+        # 12-bit positions: 2048-wide blocks + 128 run slots fit in 4096,
+        # keeping a 2^-11-relative tie bucket instead of fast mode's 2^-10
+        nk, ni = merge_topk_packed(run_k[:], run_i[:], scores, c * bc, n_rounds, pos_bits=12)
         run_k[:] = nk
         run_i[:] = ni
 
@@ -147,7 +149,8 @@ def knn_topk_pallas(
         block_cols = 4096 if mode == "fast" else 2048
     extra = 1 if mode == "fast" else 0  # self wins a slot in fast mode
     n_rounds = min(k + SEL_MARGIN + extra, K_PAD)
-    assert block_cols + K_PAD <= POS_MASK + 1
+    assert block_cols + K_PAD <= (1 << (13 if mode == "fast" else 12)), \
+        "column block too wide for the mode's key position field"
     n_pad_r = ((n + block_rows - 1) // block_rows) * block_rows
     n_pad_c = ((n + block_cols - 1) // block_cols) * block_cols
     n_pad = max(n_pad_r, n_pad_c)
@@ -209,7 +212,7 @@ def knn_topk_pallas(
 
     # exact re-score of the k + margin candidates, then exact top-k per row
     cand_i = out_i[:n, :n_rounds]  # [N, R]
-    trunc_v = unpack_value(out_k[:n, :n_rounds])
+    trunc_v = unpack_value(out_k[:n, :n_rounds], pos_bits=13 if mode == "fast" else 12)
     real = trunc_v > NEG_INF / 2
     if mode == "fast":  # self-exclusion happens here, not in-kernel
         real = real & (cand_i != jnp.arange(n, dtype=jnp.int32)[:, None])

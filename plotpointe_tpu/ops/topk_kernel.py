@@ -56,26 +56,30 @@ CHUNK = 128  # phase-2 gather granularity; multiple of the 128-lane tile
 CHUNK_MARGIN = 8  # extra chunks absorbing ties / accumulation-order jitter
 
 
-def pack_keys(scores: jax.Array, pos: jax.Array) -> jax.Array:
+def pack_keys(scores: jax.Array, pos: jax.Array, pos_bits: int = POS_BITS) -> jax.Array:
     """float32 scores + int32 positions -> monotone-sortable unique int32 keys.
 
     Monotone transform: positive floats keep their bit pattern (ascending as
     signed ints); negative floats xor the magnitude bits so more-negative
-    sorts lower. Low POS_BITS bits are replaced by (POS_MASK - pos): equal
+    sorts lower. The low pos_bits bits are replaced by (mask - pos): equal
     truncated scores tie-break to the SMALLER position, and keys are unique
-    whenever positions are."""
+    whenever positions are. pos_bits is per-caller: narrow position spaces
+    (kNN exact's 2048-wide blocks) keep 12 bits so only 2^-11-relative value
+    precision funds the tie-break; wide ones (4096+) need 13."""
+    pm = (1 << pos_bits) - 1
     s = jax.lax.bitcast_convert_type(scores, jnp.int32)
     key = jnp.where(s >= 0, s, s ^ jnp.int32(0x7FFFFFFF))
-    return (key & jnp.int32(VAL_MASK)) | (jnp.int32(POS_MASK) - pos)
+    return (key & jnp.int32(~pm)) | (jnp.int32(pm) - pos)
 
 
-def unpack_pos(keys: jax.Array) -> jax.Array:
-    return jnp.int32(POS_MASK) - (keys & jnp.int32(POS_MASK))
+def unpack_pos(keys: jax.Array, pos_bits: int = POS_BITS) -> jax.Array:
+    pm = (1 << pos_bits) - 1
+    return jnp.int32(pm) - (keys & jnp.int32(pm))
 
 
-def unpack_value(keys: jax.Array) -> jax.Array:
-    """Value with the low POS_BITS mantissa bits zeroed (selection-grade)."""
-    kb = keys & jnp.int32(VAL_MASK)
+def unpack_value(keys: jax.Array, pos_bits: int = POS_BITS) -> jax.Array:
+    """Value with the low pos_bits mantissa bits zeroed (selection-grade)."""
+    kb = keys & jnp.int32(~((1 << pos_bits) - 1))
     s = jnp.where(kb >= 0, kb, kb ^ jnp.int32(0x7FFFFFFF))
     return jax.lax.bitcast_convert_type(s, jnp.float32)
 
@@ -87,6 +91,7 @@ def merge_topk_keys(
     col0: jax.Array,  # scalar int32: global index of position 0's column
     n_rounds: int,
     w_pos: int,  # size of the candidates' position space (>= max pos + 1)
+    pos_bits: int = POS_BITS,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fold pre-packed candidate keys into the running top-n_rounds. 2
     VPU passes over the candidate width per round (one lane-max reduce, one
@@ -95,9 +100,10 @@ def merge_topk_keys(
     may be narrower than its position space (w_pos) when callers pre-reduce
     lanes (knn fast mode). Pure jnp — works inside Pallas kernels and XLA."""
     b, w = keys.shape
-    assert w_pos + K_PAD <= POS_MASK + 1, "position space too wide for the key field"
+    pm = (1 << pos_bits) - 1
+    assert w_pos + K_PAD <= pm + 1, "position space too wide for the key field"
     slot = jax.lax.broadcasted_iota(jnp.int32, (b, K_PAD), 1)
-    runk = run_k | (jnp.int32(POS_MASK) - (w_pos + slot))  # run slots sit past the block positions
+    runk = run_k | (jnp.int32(pm) - (w_pos + slot))  # run slots sit past the block positions
     cand = jnp.concatenate([keys, runk], axis=1)  # [B, W + K_PAD]
 
     kcol = slot
@@ -105,12 +111,12 @@ def merge_topk_keys(
     new_i = jnp.zeros((b, K_PAD), jnp.int32)
     for kk in range(n_rounds):
         m = jnp.max(cand, axis=1, keepdims=True)  # [B, 1] — pass 1
-        p = jnp.int32(POS_MASK) - (m[:, 0] & jnp.int32(POS_MASK))  # [B]
+        p = jnp.int32(pm) - (m[:, 0] & jnp.int32(pm))  # [B]
         rs = p - w_pos  # run-slot id when the winner came from the run side
         oh = slot == rs[:, None]
         ridx = jnp.sum(jnp.where(oh, run_i, 0), axis=1)  # [B] (1 vreg wide)
         sel = jnp.where(p < w_pos, col0 + p, ridx)
-        new_k = jnp.where(kcol == kk, m & jnp.int32(VAL_MASK), new_k)
+        new_k = jnp.where(kcol == kk, m & jnp.int32(~pm), new_k)
         new_i = jnp.where(kcol == kk, sel[:, None], new_i)
         cand = jnp.where(cand == m, jnp.int32(INT_MIN), cand)  # pass 2
     return new_k, new_i
@@ -122,12 +128,13 @@ def merge_topk_packed(
     scores: jax.Array,  # [B, W] float32 block scores (mask invalid to NEG_INF)
     col0: jax.Array,  # scalar int32: global index of the block's first column
     n_rounds: int,
+    pos_bits: int = POS_BITS,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pack one score block's keys and fold them into the running top-K."""
     b, w = scores.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    keys = pack_keys(scores, lane)
-    return merge_topk_keys(run_k, run_i, keys, col0, n_rounds, w)
+    keys = pack_keys(scores, lane, pos_bits)
+    return merge_topk_keys(run_k, run_i, keys, col0, n_rounds, w, pos_bits)
 
 
 def _chunkmax_kernel(nbi: int, b: int, n_items: int, chunk: int):

@@ -90,6 +90,16 @@ def _finalize_and_print() -> None:
             else:
                 _RESULT.update({"metric": "ii_knn_63001x384_k20_build_time",
                                 "value": None, "unit": "s", "vs_baseline": 0.0})
+        # honest record of what never completed (remote-compile latency
+        # varies ~3x run-to-run, so the watchdog can fire mid-section)
+        try:
+            missing = [n for n in _INTENDED
+                       if f"sec_{n}_s" not in _RESULT and f"{n}_error" not in _RESULT]
+            if missing:
+                _RESULT.setdefault("sections_skipped", [])
+                _RESULT["sections_skipped"] = sorted(set(_RESULT["sections_skipped"]) | set(missing))
+        except Exception:  # noqa: BLE001
+            pass
         _RESULT["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
         line = json.dumps(_RESULT)
     print(line, flush=True)
@@ -122,6 +132,7 @@ def _err(e: Exception) -> str:
 
 _PEAKS: dict = {}
 _ROOFS: list = []  # (name, seconds, flops, bytes, dtype_key)
+_INTENDED: list = []  # sections this invocation means to run (mode-filtered)
 
 
 def _roof(name: str, seconds: float, flops: float, bytes_accessed: float,
@@ -778,8 +789,8 @@ SECTIONS = [
     ("serving", 95, _sec_serving, True),
     ("gat_pallas", 165, _sec_gat_pallas, False),  # fast tier: pallas needs TPU
     ("spmm", 140, _sec_spmm, True),
-    ("gat_kernels", 120, _sec_gat_kernels, False),
-    ("peaks", 70, _sec_peaks, False),
+    ("peaks", 70, _sec_peaks, False),  # before gat_kernels: mfu_*_sol_dev needs it
+    ("gat_kernels", 160, _sec_gat_kernels, False),
     ("encoders", 80, _sec_encoders, False),
     ("gat_xla", 85, _sec_gat_xla, True),  # tail: pure-XLA comparison line
     ("ui_build", 15, _sec_ui_build, True),
@@ -836,6 +847,7 @@ def main() -> None:
 
     def run_one(name, fn):
         t0 = time.perf_counter()
+        _merge({f"sec_{name}_start_s": round(t0 - _T0, 1)})
         try:
             _merge(fn(P))
         except Exception as e:  # noqa: BLE001
@@ -850,7 +862,16 @@ def main() -> None:
         threads[name] = t
 
     by_name = {n: f for n, _, f, _ in SECTIONS}
+    _INTENDED.extend(
+        n for n, _, _, in_f in SECTIONS
+        if (only is None or n == only) and (not fast or in_f or only is not None))
     if only is None and not fast:
+        # pre-import everything the host-parallel sections touch: a thread
+        # importing a module the main thread is mid-importing raises
+        # _DeadlockError on the module lock
+        import plotpointe_tpu.graphs.csr  # noqa: F401
+        import plotpointe_tpu.graphs.knn  # noqa: F401
+
         for pname, after in HOST_PARALLEL.items():
             if after is None:
                 spawn(pname, by_name[pname])

@@ -739,7 +739,11 @@ def _sec_scaling(P) -> dict:
     budget = min(_left() - 10, P["scaling_budget_s"])
     step_t = _RESULT.get("gat_pallas_step_time_s") or _RESULT.get("gat_xla_step_time_s") or 0.208
     proc = subprocess.run(
-        [sys.executable, "-m", "plotpointe_tpu.tools.scaling_audit", "--json",
+        # niced: the audit's full-scale layout builds + CPU-mesh lowering are
+        # host-CPU-heavy and this thread runs concurrently with the main
+        # sections' tracing (which is also host CPU)
+        ["nice", "-n", "15", sys.executable, "-m",
+         "plotpointe_tpu.tools.scaling_audit", "--json",
          "--edges", str(P["scaling_edges"]), "--step-time-s", str(step_t)],
         capture_output=True, text=True, timeout=max(30, budget), env=env,
     )

@@ -28,7 +28,9 @@ class ServingConfig:
     topk: int = 20
     project_id: Optional[str] = None
     use_device: bool = True  # False -> pure numpy (tiny deployments, no JAX device)
-    use_pallas_topk: bool = False  # fused streaming top-k for very large catalogs
+    use_pallas_topk: Optional[bool] = None  # None = auto: the fused streaming
+    # kernel on TPU (the TPU-first default; 0.42 ms / 152k QPS at the 498k
+    # bf16 catalog vs 1.6 ms XLA), the XLA scorer elsewhere
     topk_mode: str = "exact"  # "fast" = strided slot pre-reduction (~1.4x faster
     # stream, recall ~1 - (k+8)^2/(2N) per query; exact f32 re-score either way)
     table_dtype: str = "float32"  # "bfloat16" halves catalog HBM + stream traffic
@@ -69,6 +71,13 @@ class RecommenderRuntime:
         self._item_vecs_dev = None
         self.item_to_idx: Optional[dict] = None
 
+    def _pallas_topk(self) -> bool:
+        if self.cfg.use_pallas_topk is not None:
+            return self.cfg.use_pallas_topk
+        import jax
+
+        return jax.default_backend() == "tpu"
+
     def startup(self) -> None:
         self.item_vecs = np.asarray(self.store.load_npy(self.cfg.item_embeddings_uri), dtype=np.float32)
         if self.cfg.use_device:
@@ -99,7 +108,7 @@ class RecommenderRuntime:
         hist[: len(ids)] = ids
         mask[: len(ids)] = 1.0
 
-        if self.cfg.use_pallas_topk:
+        if self._pallas_topk():
             from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas
 
             hvecs = self.item_vecs[ids]
@@ -157,7 +166,7 @@ class RecommenderRuntime:
         if bp > b:  # pad to a power-of-two bucket so jit caches few shapes
             q = np.concatenate([q, np.repeat(q[-1:], bp - b, axis=0)], axis=0)
         qd = jnp.asarray(q, dtype=self._item_vecs_dev.dtype)
-        if self.cfg.use_pallas_topk:
+        if self._pallas_topk():
             from plotpointe_tpu.ops.topk_kernel import topk_mips_pallas
 
             idx, scores = topk_mips_pallas(self._item_vecs_dev, qd, kk,

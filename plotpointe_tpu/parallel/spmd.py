@@ -704,29 +704,55 @@ def make_sharded_spmm(
     n_chunks = stacked.src.shape[1] // eb
     n_chunks_t = stacked.t_dst.shape[1] // eb
 
-    def _dir_call(x, idx_l, w2_l, dst2_l, to_l, il_l, nc):
+    # forward combine: OWNED-rows all_gather when the tile partition bounds
+    # are available (half the all_reduce's wire; see make_sharded_gat_step_fused)
+    _tb = list(getattr(stacked, "tile_bounds", ()) or ())
+    _gather_ov = (n_shards > 1 and len(_tb) == n_shards + 1 and _tb == sorted(_tb)
+                  and all(_tb[dv + 1] > _tb[dv] for dv in range(n_shards)))
+    _los, _his = (_tb[:-1], _tb[1:]) if _gather_ov else ([0] * n_shards, [0] * n_shards)
+    _max_rows = max((hi - lo) for lo, hi in zip(_los, _his)) * nb if _gather_ov else 0
+    _lo_rows = jnp.asarray([lo * nb for lo in _los], jnp.int32)
+
+    def _dir_call(x, idx_l, w2_l, dst2_l, to_l, il_l, nc, fwd):
         d = x.shape[1]
         xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
         xs = _pad_cols(xp, _round_up_128(d)).astype(xs_dtype)[idx_l]
         out = _wreduce_call(xs, w2_l, dst2_l, to_l, il_l, nb, eb, n_tiles, nc)
         o = out[:n, :d]
+        if not fwd:
+            # the TRANSPOSE direction is a REAL cross-shard reduction (every
+            # shard holds edges into any src node), not a one-writer overlay
+            # — it stays f32 so partial sums never accumulate in bf16
+            return jax.lax.psum(o, axis).astype(jnp.float32)
+        if not _gather_ov:
+            if overlay_dtype is not None:
+                # one-writer-per-row overlay: bf16 psum loses only the
+                # written value's quantization
+                o = o.astype(overlay_dtype)
+            return jax.lax.psum(o, axis).astype(jnp.float32)
+        dev = jax.lax.axis_index(axis)
+        pad_to = _los[-1] * nb + _max_rows
+        o2p = jnp.pad(o, ((0, pad_to - n), (0, 0)))
+        sl = jax.lax.dynamic_slice(o2p, (jnp.take(_lo_rows, dev), jnp.int32(0)),
+                                   (_max_rows, d))
         if overlay_dtype is not None:
-            # one-writer-per-row overlay: bf16 psum loses only the written
-            # value's quantization, halves the wire (see gat fused docstring)
-            o = o.astype(overlay_dtype)
-        return jax.lax.psum(o, axis).astype(jnp.float32)
+            sl = sl.astype(overlay_dtype)
+        gathered = jax.lax.all_gather(sl, axis, tiled=True)
+        parts = [gathered[dv * _max_rows: dv * _max_rows + (_his[dv] - _los[dv]) * nb]
+                 for dv in range(n_shards)]
+        return jnp.concatenate(parts, axis=0)[:n].astype(jnp.float32)
 
     fwd_specs = (P(), P(axis), P(axis), P(axis), P(axis), P(axis))
 
     @functools.partial(shard_map, mesh=mesh, in_specs=fwd_specs, out_specs=P(),
                        check_vma=False)
     def _fwd_sh(x, src_l, w2_l, dst2_l, to_l, il_l):
-        return _dir_call(x, src_l[0], w2_l[0], dst2_l[0], to_l[0], il_l[0], n_chunks)
+        return _dir_call(x, src_l[0], w2_l[0], dst2_l[0], to_l[0], il_l[0], n_chunks, True)
 
     @functools.partial(shard_map, mesh=mesh, in_specs=fwd_specs, out_specs=P(),
                        check_vma=False)
     def _bwd_sh(g, tsrc_l, w2t_l, tdst2_l, to_l, il_l):
-        return _dir_call(g, tsrc_l[0], w2t_l[0], tdst2_l[0], to_l[0], il_l[0], n_chunks_t)
+        return _dir_call(g, tsrc_l[0], w2t_l[0], tdst2_l[0], to_l[0], il_l[0], n_chunks_t, False)
 
     @jax.custom_vjp
     def op(x):

@@ -157,6 +157,19 @@ def test_sharded_fused_gat_step_matches_single(devices8, setup):
     np.testing.assert_allclose(np.asarray(grads_bf["user_emb"])[:n_users],
                                np.asarray(want_grads["user_emb"]), atol=5e-4)
 
+    # psum-overlay FALLBACK (a stacked layout without tile bounds — e.g. one
+    # built before round 5): must match the gather-overlay exactly at f32
+    import dataclasses as _dc
+
+    stacked_nb = _dc.replace(stacked, tile_bounds=())
+    step_fb = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items,
+                                          stacked_nb, hs_dtype=jnp.float32,
+                                          overlay_dtype=None)
+    grads_fb, loss_fb = step_fb(sharded_params, feats_j, jax.random.key(9), u, i, j)
+    np.testing.assert_allclose(float(loss_fb), float(loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads_fb["user_emb"]),
+                               np.asarray(grads["user_emb"]), rtol=1e-4, atol=1e-6)
+
 
 @pytest.mark.multidevice
 def test_sharded_fused_gat_step_bf16_overlay(devices8, setup):

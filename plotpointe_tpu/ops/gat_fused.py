@@ -341,7 +341,7 @@ def _reduce_call(x, dst2, tile_of, is_last, nb, eb, n_tiles, n_chunks, vma=()):
     )(tile_of, is_last, x, dst2)
 
 
-def _bwd2_kernel(nb: int, eb: int, d: int, lo: int):
+def _bwd2_kernel(nb: int, eb: int, d: int, lo: int, row_dtype=jnp.float32):
     """B2 (transpose side): recompute per-edge attention scalars in
     src-order and reduce dh per source tile — all inputs are either
     tile-local (the src rows) or 128-lane-row gathers from per-NODE tables
@@ -373,7 +373,9 @@ def _bwd2_kernel(nb: int, eb: int, d: int, lo: int):
         rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0) + t * nb
         oh = jnp.where(rows == dst, 1.0, 0.0)  # [NB, EB]
 
-        ht = ht_ref[:, lo: lo + d].astype(jnp.float32)  # [NB, D] src rows
+        # round src rows to the forward's stream dtype FIRST so B2's
+        # recomputed logits match B1's (one consistent gradient in bf16 mode)
+        ht = ht_ref[:, lo: lo + d].astype(row_dtype).astype(jnp.float32)
         Hs = jax.lax.dot_general(oh, ht, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [EB, D] hs_e
         gs = jnp.sum(Hs * as_ref[0][None, :], axis=1)  # [EB]
@@ -405,9 +407,9 @@ def _bwd2_kernel(nb: int, eb: int, d: int, lo: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "lo", "vma"))
+@functools.partial(jax.jit, static_argnames=("nb", "eb", "n_tiles", "n_chunks", "lo", "row_dtype", "vma"))
 def _bwd2_call(Gt, St, h_tiles, tdst2, mask2, a_src, tile_of, is_last,
-               nb, eb, n_tiles, n_chunks, lo=0, vma=()):
+               nb, eb, n_tiles, n_chunks, lo=0, row_dtype=jnp.float32, vma=()):
     d = Gt.shape[1]
     hd = h_tiles.shape[1]
     _vma = frozenset(vma) if vma else None
@@ -427,7 +429,7 @@ def _bwd2_call(Gt, St, h_tiles, tdst2, mask2, a_src, tile_of, is_last,
         scratch_shapes=[pltpu.VMEM((nb, d), jnp.float32)],
     )
     return pl.pallas_call(
-        _bwd2_kernel(nb, eb, d, lo),
+        _bwd2_kernel(nb, eb, d, lo, row_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * nb, d), jnp.float32, vma=_vma),
         interpret=_interpret(),
@@ -775,7 +777,8 @@ def attention_v3_mh(
             St = (S + f[0, 0].astype(S.dtype) * 1e-30)[L.t_src]
             dh_heads.append(_bwd2_call(
                 Gt, St, h_tiles, tdst2, mask_t3[hh], a_src_r[hh: hh + 1],
-                L.t_tile_of, L.t_is_last, nb, eb, n_tiles, n_chunks_t, lo=lo)[:n])
+                L.t_tile_of, L.t_is_last, nb, eb, n_tiles, n_chunks_t, lo=lo,
+                row_dtype=hs_dtype)[:n])
         de_nodes = de_sum.reshape(heads, n_tiles * nb)[:, :n]  # [H, N]
         dh = jnp.stack(dh_heads, axis=1) + de_nodes.T[:, :, None] * a_dst_r[None, :, :]
         da_src = jnp.sum(da_src_part, axis=1)  # [H, D]
@@ -893,7 +896,8 @@ def attention_v3(
         St = (S + f[0, 0].astype(S.dtype) * 1e-30)[L.t_src]
         mask_t2 = make_mask(L.t_pos).reshape(-1, 128)
         dh_nodes = _bwd2_call(Gt, St, h_tiles, tdst2, mask_t2, a_src_r,
-                              L.t_tile_of, L.t_is_last, nb, eb, n_tiles, n_chunks_t, vma=vma)
+                              L.t_tile_of, L.t_is_last, nb, eb, n_tiles, n_chunks_t,
+                              row_dtype=hs_dtype, vma=vma)
 
         de_sum_nodes = de_sum.reshape(n_tiles * nb)[: n]
         dh = dh_nodes[:n] + de_sum_nodes[:, None] * a_dst_r[0][None, :]

@@ -240,9 +240,15 @@ def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int,
     scores are exact f32 re-scores of the selected items. Rows with fewer
     than k real candidates get idx -1 / score -1e30 in the tail lanes.
 
-    mode="exact" (default): top-(k + 8) chunks re-scored — exact up to >8-way
-    chunk-max ties at the k-th score (see module docstring). mode="fast":
-    margin 2, shaving the phase-2 gather for latency-critical serving."""
+    mode="exact" (default): top-(k + 8) chunks re-scored. The chunk
+    selection uses truncated packed keys, so a true top-k item is lost only
+    when MORE THAN 8 other chunk-maxima tie within the key truncation
+    bucket (2^-11 relative when the chunk space fits 12-bit positions —
+    it does at the 498k serving shape — else 2^-10) above its chunk's max;
+    the phase-2 re-score then repairs rank exactly among survivors.
+    mode="fast": margin 2 — a smaller rescore with the correspondingly
+    weaker >2-way-bucket-tie bound, for latency-critical serving. Catalogs
+    with heavy near-ties at the k-th score should keep "exact"."""
     n, d = item_vecs.shape
     b = queries.shape[0]
     if block_items == 0:
@@ -290,14 +296,16 @@ def topk_mips_pallas(item_vecs: jax.Array, queries: jax.Array, k: int,
     if r <= K_PAD and w + K_PAD <= POS_MASK + 1:
         # packed-key selection rounds, ~4x cheaper than lax.top_k here
         # (0.04 vs 0.18 ms at [64, 3968]). Key truncation displaces chunks
-        # only within 2^-(23-POS_BITS) relative — absorbed by the margin
-        # like accumulation-order jitter.
+        # only within 2^-(23-pos_bits) relative — absorbed by the margin
+        # like accumulation-order jitter; 12-bit positions (2^-11 buckets)
+        # whenever the chunk space fits, 13 otherwise.
+        pb = 12 if w + K_PAD <= (1 << 12) else POS_BITS
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
         run_k, run_i = merge_topk_keys(
             jnp.full((b, K_PAD), INT_MIN, jnp.int32),
             jnp.zeros((b, K_PAD), jnp.int32),
-            pack_keys(cm, lane), jnp.int32(0), r, w)
-        sel, vsel = run_i[:, :r], unpack_value(run_k[:, :r])
+            pack_keys(cm, lane, pb), jnp.int32(0), r, w, pb)
+        sel, vsel = run_i[:, :r], unpack_value(run_k[:, :r], pb)
     else:
         vsel, sel = jax.lax.top_k(cm, r)  # [B, R] indices in padded lane space
     chunk_id = jnp.minimum((sel // 128) * g + (sel % 128), (n - 1) // chunk)

@@ -254,6 +254,45 @@ def sharded_attention_fused(
     return f(h, a_src, a_dst, *_layout_leaves(stacked))
 
 
+def _overlay_combiner(tile_bounds, n_shards: int, nb: int, n_rows: int,
+                      axis: str, overlay_dtype):
+    """One-writer-per-row overlay combine, shared by the fused GAT step and
+    the sharded SpMM. With valid contiguous tile-partition bounds, the
+    combine is an all_gather of each shard's OWNED rows — half the
+    all_reduce's wire for the same payload, its autodiff transpose
+    (psum_scatter) halves the backward cotangent wire identically, and
+    non-owned output blocks are never read. Without bounds it falls back to
+    the psum overlay (optionally at overlay_dtype — quantization-only,
+    since other shards contribute exact zeros).
+
+    Returns combine(o2 [n_rows, D], dev) -> [n_rows, D] f32 replicated."""
+    tb = list(tile_bounds or ())
+    gather = (n_shards > 1 and len(tb) == n_shards + 1 and tb == sorted(tb)
+              and all(tb[i + 1] > tb[i] for i in range(n_shards)))
+    los, his = (tb[:-1], tb[1:]) if gather else ([0] * n_shards, [0] * n_shards)
+    max_rows = max((hi - lo) for lo, hi in zip(los, his)) * nb if gather else 0
+    lo_rows = jnp.asarray([lo * nb for lo in los], jnp.int32)
+
+    def combine(o2, dev):
+        if not gather:
+            if overlay_dtype is not None:
+                o2 = o2.astype(overlay_dtype)
+            return jax.lax.psum(o2, axis).astype(jnp.float32)
+        dpad = o2.shape[1]
+        pad_to = los[-1] * nb + max_rows  # static upper bound
+        o2p = jnp.pad(o2, ((0, pad_to - n_rows), (0, 0)))
+        sl = jax.lax.dynamic_slice(
+            o2p, (jnp.take(lo_rows, dev), jnp.int32(0)), (max_rows, dpad))
+        if overlay_dtype is not None:
+            sl = sl.astype(overlay_dtype)
+        gathered = jax.lax.all_gather(sl, axis, tiled=True)
+        parts = [gathered[dv * max_rows: dv * max_rows + (his[dv] - los[dv]) * nb]
+                 for dv in range(n_shards)]
+        return jnp.concatenate(parts, axis=0)[:n_rows].astype(jnp.float32)
+
+    return combine
+
+
 def make_sharded_gat_step_fused(
     model,
     loss_name: str,
@@ -301,25 +340,10 @@ def make_sharded_gat_step_fused(
     leaves_dev = tuple(put_sharded(np.asarray(a), mesh, P(axis)) for a in _layout_leaves(stacked))
     graph_n_edges = 0  # attention_v3 reads only layout/n_nodes; n_edges is metadata
 
-    # static owned-tile row ranges (shard_layout_by_tiles partitions tiles
-    # contiguously): the per-layer overlay combine becomes an all_gather of
-    # each device's OWN rows instead of an all_reduce of the full [N, D]
-    # array — a ring all_gather moves HALF the all_reduce's wire bytes for
-    # the same logical payload, and the autodiff transpose (psum_scatter)
-    # halves the backward's cotangent wire too. It also stops relying on
-    # non-owned output blocks being zero.
-    nbl = stacked.nb
-    _tb = list(stacked.tile_bounds)
-    _gather_overlay = (
-        n_shards > 1
-        and len(_tb) == n_shards + 1
-        and _tb == sorted(_tb)
-        and all(_tb[dv + 1] > _tb[dv] for dv in range(n_shards))
-    )
-    _los = _tb[:-1] if _gather_overlay else [0] * n_shards
-    _his = _tb[1:] if _gather_overlay else [0] * n_shards
-    _max_rows = max((hi - lo) for lo, hi in zip(_los, _his)) * nbl if _gather_overlay else 0
-    _lo_rows = jnp.asarray([lo * nbl for lo in _los], jnp.int32)
+    # per-layer overlay combine: owned-rows all_gather when tile bounds are
+    # available, psum fallback otherwise (see _overlay_combiner)
+    _combine = _overlay_combiner(stacked.tile_bounds, n_shards, stacked.nb,
+                                 n_nodes, axis, overlay_dtype)
     wire_dt = None if hs_dtype == jnp.float32 else jnp.bfloat16
 
     @jax.jit
@@ -368,25 +392,6 @@ def make_sharded_gat_step_fused(
                 ag.defvjp(ag_fwd, ag_bwd)
                 return ag(ue)
 
-            def combine_overlay(out_l):
-                o2 = out_l[:, 0, :]  # [n_nodes, D]
-                if not _gather_overlay:
-                    if overlay_dtype is not None:
-                        o2 = o2.astype(overlay_dtype)
-                    # overlay: off-shard rows are exact zeros (one writer/row)
-                    return jax.lax.psum(o2, axis).astype(jnp.float32)
-                dpad = o2.shape[1]
-                pad_to = _los[-1] * nbl + _max_rows  # static upper bound
-                o2p = jnp.pad(o2, ((0, pad_to - n_nodes), (0, 0)))
-                sl = jax.lax.dynamic_slice(
-                    o2p, (jnp.take(_lo_rows, dev), jnp.int32(0)), (_max_rows, dpad))
-                if overlay_dtype is not None:
-                    sl = sl.astype(overlay_dtype)
-                gathered = jax.lax.all_gather(sl, axis, tiled=True)
-                parts = [gathered[dv * _max_rows: dv * _max_rows + (_his[dv] - _los[dv]) * nbl]
-                         for dv in range(n_shards)]
-                return jnp.concatenate(parts, axis=0)[:n_nodes].astype(jnp.float32)
-
             def local_loss(p):
                 ue = gather_table(p["user_emb"])[:n_users]
                 v = item_feats @ p["item_proj"]["w"] + p["item_proj"]["b"]
@@ -399,7 +404,7 @@ def make_sharded_gat_step_fused(
                     out_l = attention_v3(h, layer["a_src"], layer["a_dst"], g_l,
                                          dropout_rate=dropout_rate, rng=lrng,
                                          hs_dtype=hs_dtype)
-                    x = combine_overlay(out_l)
+                    x = _combine(out_l[:, 0, :], dev)
                     if model.use_bias:
                         x = x + layer["b"]
                 U, I = x[:n_users], x[n_users:]
@@ -704,14 +709,8 @@ def make_sharded_spmm(
     n_chunks = stacked.src.shape[1] // eb
     n_chunks_t = stacked.t_dst.shape[1] // eb
 
-    # forward combine: OWNED-rows all_gather when the tile partition bounds
-    # are available (half the all_reduce's wire; see make_sharded_gat_step_fused)
-    _tb = list(getattr(stacked, "tile_bounds", ()) or ())
-    _gather_ov = (n_shards > 1 and len(_tb) == n_shards + 1 and _tb == sorted(_tb)
-                  and all(_tb[dv + 1] > _tb[dv] for dv in range(n_shards)))
-    _los, _his = (_tb[:-1], _tb[1:]) if _gather_ov else ([0] * n_shards, [0] * n_shards)
-    _max_rows = max((hi - lo) for lo, hi in zip(_los, _his)) * nb if _gather_ov else 0
-    _lo_rows = jnp.asarray([lo * nb for lo in _los], jnp.int32)
+    _combine = _overlay_combiner(getattr(stacked, "tile_bounds", ()), n_shards,
+                                 nb, n, axis, overlay_dtype)
 
     def _dir_call(x, idx_l, w2_l, dst2_l, to_l, il_l, nc, fwd):
         d = x.shape[1]
@@ -724,23 +723,7 @@ def make_sharded_spmm(
             # shard holds edges into any src node), not a one-writer overlay
             # — it stays f32 so partial sums never accumulate in bf16
             return jax.lax.psum(o, axis).astype(jnp.float32)
-        if not _gather_ov:
-            if overlay_dtype is not None:
-                # one-writer-per-row overlay: bf16 psum loses only the
-                # written value's quantization
-                o = o.astype(overlay_dtype)
-            return jax.lax.psum(o, axis).astype(jnp.float32)
-        dev = jax.lax.axis_index(axis)
-        pad_to = _los[-1] * nb + _max_rows
-        o2p = jnp.pad(o, ((0, pad_to - n), (0, 0)))
-        sl = jax.lax.dynamic_slice(o2p, (jnp.take(_lo_rows, dev), jnp.int32(0)),
-                                   (_max_rows, d))
-        if overlay_dtype is not None:
-            sl = sl.astype(overlay_dtype)
-        gathered = jax.lax.all_gather(sl, axis, tiled=True)
-        parts = [gathered[dv * _max_rows: dv * _max_rows + (_his[dv] - _los[dv]) * nb]
-                 for dv in range(n_shards)]
-        return jnp.concatenate(parts, axis=0)[:n].astype(jnp.float32)
+        return _combine(o, jax.lax.axis_index(axis))
 
     fwd_specs = (P(), P(axis), P(axis), P(axis), P(axis), P(axis))
 

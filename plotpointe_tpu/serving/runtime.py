@@ -31,8 +31,10 @@ class ServingConfig:
     use_pallas_topk: Optional[bool] = None  # None = auto: the fused streaming
     # kernel on TPU (the TPU-first default; 0.42 ms / 152k QPS at the 498k
     # bf16 catalog vs 1.6 ms XLA), the XLA scorer elsewhere
-    topk_mode: str = "exact"  # "fast" = strided slot pre-reduction (~1.4x faster
-    # stream, recall ~1 - (k+8)^2/(2N) per query; exact f32 re-score either way)
+    topk_mode: str = "exact"  # "fast" = phase-2 chunk margin 2 instead of 8
+    # (smaller candidate rescore; a true top-k item is lost only when >margin
+    # chunk-maxima tie within the packed-key truncation bucket above its
+    # chunk — see ops/topk_kernel.py; exact f32 re-score either way)
     table_dtype: str = "float32"  # "bfloat16" halves catalog HBM + stream traffic
     # (scores stay f32 via preferred_element_type; ranks can differ by bf16
     # rounding ~4e-3 relative on near-ties)

@@ -117,7 +117,11 @@ def race_job(spec: Dict, overrides: Dict[str, str], workers: List[str],
     if dry_run:
         return 0
 
-    procs = [(w, subprocess.Popen(cmd, shell=True), time.time()) for w, cmd in cmds]
+    # each submission gets its own process GROUP so cancellation reaches the
+    # whole shell pipeline (a bare terminate() on shell=True hits only the
+    # outer sh, leaving nested commands running)
+    procs = [(w, subprocess.Popen(cmd, shell=True, start_new_session=True), time.time())
+             for w, cmd in cmds]
     winner = None
     t0 = time.time()
     try:
@@ -146,13 +150,26 @@ def race_job(spec: Dict, overrides: Dict[str, str], workers: List[str],
                 continue
             break
     finally:
+        import signal as _signal
+
         for w, pr, _ in procs:
             if winner is not None and pr is winner[1]:
                 continue
             if pr.poll() is None:
-                pr.terminate()
+                try:
+                    os.killpg(os.getpgid(pr.pid), _signal.SIGTERM)
+                except (ProcessLookupError, PermissionError):
+                    pr.terminate()
                 print(json.dumps({"race": spec["name"], "worker": w,
                                   "action": "cancelled (lost the race)"}), file=sys.stderr)
+            try:
+                pr.wait(timeout=10)  # reap; no zombies in a long-lived runner
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(os.getpgid(pr.pid), _signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pr.kill()
+                pr.wait(timeout=5)
     if winner is None:
         return 1
     w, pr, _ = winner

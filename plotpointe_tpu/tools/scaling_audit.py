@@ -136,7 +136,13 @@ def _build_step_and_args(n_shards: int, n_users: int, n_items: int, n_edges: int
     model = GATModel(n_users=n_users, n_items=n_items, feat_dim=feat_dim,
                      hidden_dim=hidden, n_layers=layers, attn_impl="pallas")
     graph = _synthetic_graph(n_users, n_items, n_edges)
-    stacked = shard_layout_by_tiles(graph, n_shards)
+    lkey = (n_users, n_items, n_edges, n_shards)
+    stacked = _GRAPH_CACHE.get(lkey)
+    if stacked is None:
+        # the host-side layout build at full scale costs seconds per shard
+        # count; deterministic per (graph, n_shards), so cache alongside
+        stacked = shard_layout_by_tiles(graph, n_shards)
+        _GRAPH_CACHE[lkey] = stacked
     step = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked)
 
     params_s = dict(jax.eval_shape(model.init, jax.random.key(0)))

@@ -194,8 +194,10 @@ def test_sharded_fused_gat_step_bf16_overlay(devices8, setup):
     sharded_params = dict(params)
     sharded_params["user_emb"] = device_put_row_sharded(params["user_emb"], mesh)
 
+    # overlay_dtype=None pins the truly-exact combine (the builder DEFAULT
+    # is bf16 since round 5 — omitting it here made this comparison vacuous)
     exact = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
-                                        hs_dtype=jnp.float32)
+                                        hs_dtype=jnp.float32, overlay_dtype=None)
     cheap = make_sharded_gat_step_fused(model, "bpr", mesh, n_users, n_items, stacked,
                                         hs_dtype=jnp.float32, overlay_dtype=jnp.bfloat16)
     _, loss_exact = exact(sharded_params, feats_j, jax.random.key(9), u, i, j)
@@ -216,7 +218,8 @@ def test_sharded_spmm_bf16_overlay(devices8, setup):
     vals = symmetric_normalized_weights(g)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(g.n_nodes, 16)).astype(np.float32))
-    exact = make_sharded_spmm(mesh, g, vals, nb=8, eb=128, xs_dtype=jnp.float32)
+    exact = make_sharded_spmm(mesh, g, vals, nb=8, eb=128, xs_dtype=jnp.float32,
+                              overlay_dtype=None)
     cheap = make_sharded_spmm(mesh, g, vals, nb=8, eb=128, xs_dtype=jnp.float32,
                               overlay_dtype=jnp.bfloat16)
     ye, yb = exact(x), cheap(x)

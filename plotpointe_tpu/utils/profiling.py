@@ -158,7 +158,8 @@ def measure_device_peaks(timed_inner=None) -> Dict:
         def stream_body(c, i, x):  # noqa: F811
             return c + jnp.max(x.astype(jnp.float32) + c) * 1e-9
 
-    dt_stream = timed_inner(stream_body, x, n_iter=4, n_rep=2)
+    dt_stream = timed_inner(stream_body, x, n_iter=4, n_rep=3)  # best-of-3:
+    # the shared tunnel's delivered bandwidth varies run to run
     return {
         "tflops": 2 * 4096 * 4096 * 8192 / dt_mm / 1e12,
         "hbm_gbps": M * D * 2 / dt_stream / 1e9,
